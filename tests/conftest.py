@@ -1,0 +1,16 @@
+"""Test configuration: force an 8-device virtual CPU platform BEFORE jax
+initializes, so multi-chip sharding tests run anywhere (the TPU-world
+analogue of the reference's gloo-on-CPU DDP fallback,
+train_video_segment_ddp.py:64-67)."""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
