@@ -1,0 +1,148 @@
+"""Temporal Shift Module (TSM) as a TPU-native op.
+
+Reference semantics (`video_chapter_generation/ops/temporal_shift.py:33-51`,
+TSM paper arXiv:1811.08383): with channels split into n_div folds,
+fold 0 shifts left along time (takes t+1), fold 1 shifts right (takes t-1),
+remaining channels pass through; out-of-range positions are zero.
+
+TPU design notes
+----------------
+- The reference needed an in-place autograd Function to save memory and
+  remarks a CUDA kernel "may be needed" (temporal_shift.py:41-43). Under
+  XLA none of that machinery exists: the shift is a static slice/pad/concat
+  that XLA fuses into the consumer convolution's input pipeline, and
+  reverse-mode AD of a shift is the opposite shift — no manual VJP needed.
+- Layout is NHWC ([B, T, H, W, C]); the shifted fold is a contiguous slab
+  of lanes, so the concat is a cheap lane-aligned copy when C is a
+  multiple of 128 (true for every ResNet50 stage: 64..2048 with
+  fold = C/8 >= 8).
+- A Pallas kernel variant is provided for the fused path (shift performed
+  VMEM-resident, gridded over batch); it is numerically identical and used
+  when `use_pallas=True`. On most shapes XLA's fusion is already
+  speed-of-light (HBM-bound elementwise copy), so the kernel mainly serves
+  as the template for deeper fusion with the consumer conv.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def temporal_shift(x: jax.Array, n_segment: int, n_div: int = 8) -> jax.Array:
+    """Shift 2/n_div of channels along the time axis.
+
+    Args:
+      x: [N*T, H, W, C] (time-major within each sample, like the reference's
+         `(b t) c h w` flattening) — or [B, T, H, W, C].
+      n_segment: T. When x is 4-D, the leading dim must be divisible by T.
+      n_div: channel folds; fold = C // n_div channels shift each way.
+
+    Returns: same shape as x.
+    """
+    squeeze = x.ndim == 4
+    if squeeze:
+        nt = x.shape[0]
+        x = x.reshape(nt // n_segment, n_segment, *x.shape[1:])
+
+    c = x.shape[-1]
+    fold = c // n_div
+
+    # fold 0: shift left (out[t] = x[t+1]); fold 1: shift right; rest: copy.
+    left = jnp.concatenate(
+        [x[:, 1:, ..., :fold], jnp.zeros_like(x[:, :1, ..., :fold])], axis=1
+    )
+    right = jnp.concatenate(
+        [jnp.zeros_like(x[:, :1, ..., fold : 2 * fold]), x[:, :-1, ..., fold : 2 * fold]],
+        axis=1,
+    )
+    out = jnp.concatenate([left, right, x[..., 2 * fold :]], axis=-1)
+
+    if squeeze:
+        out = out.reshape(-1, *out.shape[2:])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel variant
+# ---------------------------------------------------------------------------
+
+
+def _shift_kernel(x_ref, o_ref, *, n_segment: int, fold: int):
+    """One grid step owns one batch element: x_ref/o_ref are [1, T, HW, C].
+
+    The time dimension is static (unrolled), so each copy is a plain
+    VMEM-to-VMEM slice move on (HW, C) slabs.
+    """
+    t_count = n_segment
+    for t in range(t_count):
+        # fold 0: left shift
+        if t + 1 < t_count:
+            o_ref[0, t, :, :fold] = x_ref[0, t + 1, :, :fold]
+        else:
+            o_ref[0, t, :, :fold] = jnp.zeros_like(x_ref[0, t, :, :fold])
+        # fold 1: right shift
+        if t - 1 >= 0:
+            o_ref[0, t, :, fold : 2 * fold] = x_ref[0, t - 1, :, fold : 2 * fold]
+        else:
+            o_ref[0, t, :, fold : 2 * fold] = jnp.zeros_like(
+                x_ref[0, t, :, fold : 2 * fold]
+            )
+        # rest: passthrough
+        o_ref[0, t, :, 2 * fold :] = x_ref[0, t, :, 2 * fold :]
+
+
+@functools.partial(jax.jit, static_argnames=("n_segment", "n_div"))
+def temporal_shift_pallas(x: jax.Array, n_segment: int, n_div: int = 8) -> jax.Array:
+    """Pallas implementation of `temporal_shift` (identical numerics)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    squeeze = x.ndim == 4
+    if squeeze:
+        nt = x.shape[0]
+        x = x.reshape(nt // n_segment, n_segment, *x.shape[1:])
+
+    b, t, h, w, c = x.shape
+    fold = c // n_div
+    x3 = x.reshape(b, t, h * w, c)
+
+    out = pl.pallas_call(
+        functools.partial(_shift_kernel, n_segment=t, fold=fold),
+        out_shape=jax.ShapeDtypeStruct((b, t, h * w, c), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, t, h * w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, h * w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x3)
+
+    out = out.reshape(b, t, h, w, c)
+    if squeeze:
+        out = out.reshape(-1, h, w, c)
+    return out
+
+
+def temporal_pool(x: jax.Array, n_segment: int) -> jax.Array:
+    """Max-pool over time, kernel 3 stride 2 pad 1 (temporal_shift.py:84-101).
+
+    x: [N*T, H, W, C] -> [N*T/2, H, W, C].
+    """
+    nt = x.shape[0]
+    x5 = x.reshape(nt // n_segment, n_segment, *x.shape[1:])
+    pooled = jax.lax.reduce_window(
+        x5,
+        -jnp.inf if jnp.issubdtype(x5.dtype, jnp.floating) else jnp.iinfo(x5.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, 3, 1, 1, 1),
+        window_strides=(1, 2, 1, 1, 1),
+        padding=((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)),
+    )
+    return pooled.reshape(-1, *x.shape[1:])
