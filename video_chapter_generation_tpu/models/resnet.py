@@ -1,0 +1,288 @@
+"""ResNet-50 with Temporal Shift Module, TPU-native (flax, NHWC).
+
+From-scratch JAX redesign of the reference's vision stream
+(`model/vision/resnet50_tsm.py:10-77`, `model/vision/resnet50.py:9-73`,
+`ops/temporal_shift.py:104-146`): where the reference monkey-patches
+torchvision's ResNet to wrap every residual block's conv1 with a shift, here
+the shift is simply part of the block definition ('blockres' placement,
+shift on the conv1 input of every bottleneck; ResNet-50's layer3 has 6 < 23
+blocks so every block shifts, matching n_round=1).
+
+Layout is NHWC — the TPU-preferred conv layout — and weights can be loaded
+from a converted torchvision `resnet50(pretrained=True)` state dict
+(`convert_torchvision_resnet50`, OIHW->HWIO).
+
+BatchNorm semantics: training uses batch stats and updates running
+averages; evaluation uses running averages by default, but
+`bn_batch_stats=True` reproduces the reference's eval-time hack of nulling
+running stats (test_video_segment_point.py:117-122).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.temporal_shift import temporal_shift
+
+STAGE_SIZES = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+
+
+class Bottleneck(nn.Module):
+    """ResNet v1.5 bottleneck (stride on the 3x3), optional TSM on conv1
+    input."""
+
+    features: int  # bottleneck width; output is 4x
+    stride: int = 1
+    projection: bool = False
+    n_segment: int = 0  # >0 enables temporal shift
+    n_div: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool, bn_batch_stats: bool = False):
+        use_ra = not train and not bn_batch_stats
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=use_ra,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name=name,
+        )
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
+            use_bias=False, dtype=self.dtype, name=name,
+        )
+
+        residual = x
+        y = x
+        if self.n_segment > 0:
+            y = temporal_shift(y, self.n_segment, self.n_div)
+        y = conv(self.features, 1, 1, "conv1")(y)
+        y = nn.relu(bn("bn1")(y))
+        y = conv(self.features, 3, self.stride, "conv2")(y)
+        y = nn.relu(bn("bn2")(y))
+        y = conv(self.features * 4, 1, 1, "conv3")(y)
+        y = bn("bn3")(y)
+
+        if self.projection:
+            residual = conv(self.features * 4, 1, self.stride, "proj_conv")(residual)
+            residual = bn("proj_bn")(residual)
+
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet-50/101 backbone -> [N, feature_dim] pooled features."""
+
+    depth: int = 50
+    n_segment: int = 0  # >0: TSM on every block ('blockres')
+    n_div: int = 8
+    stage_sizes: Optional[Sequence[int]] = None  # override blocks-per-stage
+    dtype: Any = jnp.float32
+
+    @property
+    def feature_dim(self) -> int:
+        return 2048
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, bn_batch_stats: bool = False):
+        """x: [N, H, W, 3] (N = batch*time when TSM enabled, time-major per
+        sample). Returns pooled features [N, 2048]."""
+        use_ra = not train and not bn_batch_stats
+        y = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+            use_bias=False, dtype=self.dtype, name="conv_init",
+        )(x)
+        y = nn.BatchNorm(
+            use_running_average=use_ra, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn_init",
+        )(y)
+        y = nn.relu(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        sizes = self.stage_sizes or STAGE_SIZES[self.depth]
+        for stage, num_blocks in enumerate(sizes):
+            features = 64 * (2**stage)
+            for block in range(num_blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                y = Bottleneck(
+                    features=features,
+                    stride=stride,
+                    projection=(block == 0),
+                    n_segment=self.n_segment,
+                    n_div=self.n_div,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_block{block}",
+                )(y, train=train, bn_batch_stats=bn_batch_stats)
+
+        # global average pool (torchvision avgpool + flatten)
+        return jnp.mean(y, axis=(1, 2))
+
+
+class Resnet50TSM(nn.Module):
+    """Vision embedder + optional clip classifier head.
+
+    forward contract of the reference wrapper (resnet50_tsm.py:68-77):
+    input [B, T, H, W, 3] -> features [B, T, 2048]; with the chapter head,
+    logits over the concatenated time dim (Linear(T*2048 -> 2)).
+    """
+
+    segments_size: int = 16
+    shift_div: int = 8
+    with_head: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.base_model = ResNet(
+            depth=50, n_segment=self.segments_size, n_div=self.shift_div,
+            dtype=self.dtype,
+        )
+        if self.with_head:
+            self.head = nn.Dense(2, dtype=self.dtype)
+
+    def features(self, x, train: bool = False, bn_batch_stats: bool = False):
+        b, t = x.shape[0], x.shape[1]
+        flat = x.reshape(b * t, *x.shape[2:])
+        out = self.base_model(flat, train=train, bn_batch_stats=bn_batch_stats)
+        return out.reshape(b, t, -1)
+
+    def __call__(self, x, train: bool = False, bn_batch_stats: bool = False):
+        feats = self.features(x, train=train, bn_batch_stats=bn_batch_stats)
+        if not self.with_head:
+            return feats
+        b = feats.shape[0]
+        logits = self.head(feats.reshape(b, -1))
+        return logits, jax.nn.softmax(logits, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# torchvision weight conversion
+# ---------------------------------------------------------------------------
+
+
+def convert_torchvision_resnet50(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert a torchvision resnet50 state dict (tensors or numpy arrays)
+    into {'params': ..., 'batch_stats': ...} for `ResNet`.
+
+    Accepts keys like 'conv1.weight', 'layer1.0.conv1.weight',
+    'layer1.0.downsample.0.weight'. The 'fc.*' head is dropped (the
+    reference replaces it with Identity, resnet50_tsm.py:19).
+    """
+    import numpy as np
+
+    def to_np(v):
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v)
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = leaf
+
+    def conv_w(v):
+        return to_np(v).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+
+    for key, v in state_dict.items():
+        if key.startswith("fc."):
+            continue
+        parts = key.split(".")
+        if parts[0] == "conv1":
+            put(params, ("conv_init", "kernel"), conv_w(v))
+        elif parts[0] == "bn1":
+            _put_bn(params, stats, ("bn_init",), parts[1], to_np(v))
+        elif parts[0].startswith("layer"):
+            layer, block = parts[0], parts[1]
+            mod = f"{layer}_block{block}"
+            sub = parts[2]
+            if sub.startswith("conv"):
+                put(params, (mod, sub, "kernel"), conv_w(v))
+            elif sub.startswith("bn"):
+                _put_bn(params, stats, (mod, sub), parts[3], to_np(v))
+            elif sub == "downsample":
+                if parts[3] == "0":  # conv
+                    put(params, (mod, "proj_conv", "kernel"), conv_w(v))
+                else:  # 1 -> bn
+                    _put_bn(params, stats, (mod, "proj_bn"), parts[4], to_np(v))
+        # num_batches_tracked and anything else: ignore
+
+    return {"params": params, "batch_stats": stats}
+
+
+def _put_bn(params, stats, path, field, value):
+    def put(tree, p, leaf):
+        node = tree
+        for x in p[:-1]:
+            node = node.setdefault(x, {})
+        node[p[-1]] = leaf
+
+    if field == "weight":
+        put(params, (*path, "scale"), value)
+    elif field == "bias":
+        put(params, (*path, "bias"), value)
+    elif field == "running_mean":
+        put(stats, (*path, "mean"), value)
+    elif field == "running_var":
+        put(stats, (*path, "var"), value)
+
+
+def convert_hf_resnet(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert a HuggingFace `ResNetModel` state dict (microsoft/resnet-50
+    lineage — same v1.5 bottleneck architecture) into `ResNet` variables.
+
+    Key mapping: embedder -> conv_init/bn_init;
+    encoder.stages.{s}.layers.{b}.layer.{0,1,2} -> layer{s+1}_block{b}.conv1..3;
+    .shortcut -> proj_conv/proj_bn.
+    """
+    import numpy as np
+
+    def to_np(v):
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v)
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for x in path[:-1]:
+            node = node.setdefault(x, {})
+        node[path[-1]] = leaf
+
+    def conv_w(v):
+        return to_np(v).transpose(2, 3, 1, 0)
+
+    for key, v in state_dict.items():
+        parts = key.split(".")
+        if key.startswith("embedder."):
+            if parts[-2] == "convolution":
+                put(params, ("conv_init", "kernel"), conv_w(v))
+            else:
+                _put_bn(params, stats, ("bn_init",), parts[-1], to_np(v))
+        elif key.startswith("encoder.stages."):
+            s, b = int(parts[2]), int(parts[4])
+            mod = f"layer{s + 1}_block{b}"
+            if parts[5] == "shortcut":
+                if parts[-2] == "convolution":
+                    put(params, (mod, "proj_conv", "kernel"), conv_w(v))
+                else:
+                    _put_bn(params, stats, (mod, "proj_bn"), parts[-1], to_np(v))
+            elif parts[5] == "layer":
+                conv_idx = int(parts[6]) + 1
+                if parts[-2] == "convolution":
+                    put(params, (mod, f"conv{conv_idx}", "kernel"), conv_w(v))
+                else:
+                    _put_bn(
+                        params, stats, (mod, f"bn{conv_idx}"), parts[-1], to_np(v)
+                    )
+
+    return {"params": params, "batch_stats": stats}
