@@ -1,0 +1,99 @@
+"""Optimizer + LR schedule construction.
+
+Reproduces the reference's training recipe:
+- AdamW with a decay/no-decay parameter partition — biases, LayerNorm/
+  BatchNorm scales and embeddings get weight_decay 0
+  (bert_hugface.py:55-96, two_stream_window.py:335-380)
+- epoch-based LR warmup + cosine/exponential decay
+  (train_video_segment_ddp.py:345-375)
+- gradient accumulation (optax.MultiSteps; ddp.py:334-342)
+- global-norm clipping (ddp.py:340)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import optax
+
+from ..core.config import OptimConfig
+
+_NO_DECAY_MARKERS = ("ln", "norm", "bn", "emb")
+
+
+def no_decay_mask(params) -> Any:
+    """True where weight decay applies. Reference rule: decay everything
+    except biases, LayerNorm/BatchNorm parameters and embeddings."""
+
+    def decide(path) -> bool:
+        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        leaf = str(keys[-1]).lower()
+        if leaf != "kernel":  # bias, scale, embedding, pos tables...
+            return False
+        joined = "/".join(str(k).lower() for k in keys)
+        return not any(m in joined for m in _NO_DECAY_MARKERS)
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: decide(p), params)
+
+
+def lr_multiplier(epoch: int, cfg: OptimConfig) -> float:
+    """Epoch-based schedule multiplier (ddp.py:345-375), applied on top of
+    the base learning rate every optimizer step."""
+    if not cfg.lr_decay:
+        return 1.0
+    if epoch < cfg.warmup_epochs:
+        return max(epoch / cfg.warmup_epochs, 1e-2)
+    progress = epoch / cfg.final_epochs if epoch < cfg.final_epochs else 1.0
+    if cfg.lr_decay_type == "cosine":
+        return max(0.001, 0.5 * (1.0 + math.cos(math.pi * progress)))
+    if cfg.lr_decay_type == "exp":
+        t = 1 / 5
+        if progress < t:
+            return 1.0
+        if progress < 2 * t:
+            return 0.1
+        if progress < 3 * t:
+            return 0.01
+        return 0.001
+    raise ValueError(f"unknown lr_decay_type {cfg.lr_decay_type}")
+
+
+def make_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
+    """AdamW with the reference's decay partition, grad clipping, dynamic
+    LR scaling (via `scale_by_lr_mult` injected state) and accumulation.
+
+    The per-epoch multiplier is supplied at step time through
+    `optax.inject_hyperparams` as `opt.update(..., lr_mult=...)`-style state:
+    we expose it as the `lr_mult` hyperparameter of the returned optimizer.
+    """
+    mask = no_decay_mask(params)
+
+    def base(lr_mult: float = 1.0):
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_norm_clip),
+            optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]),
+            optax.add_decayed_weights(cfg.weight_decay, mask=mask),
+            optax.scale(-cfg.learning_rate),
+            optax.scale(lr_mult),
+        )
+
+    tx = optax.inject_hyperparams(base)(lr_mult=1.0)
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    return tx
+
+
+def set_lr_mult(opt_state, mult: float):
+    """Update the injected lr_mult hyperparameter inside (possibly
+    MultiSteps-wrapped) optimizer state."""
+    import jax.numpy as jnp
+
+    if isinstance(opt_state, optax.MultiStepsState):
+        inner = set_lr_mult(opt_state.inner_opt_state, mult)
+        return opt_state._replace(inner_opt_state=inner)
+    # InjectStatefulHyperparamsState / InjectHyperparamsState
+    hp = dict(opt_state.hyperparams)
+    hp["lr_mult"] = jnp.asarray(mult, dtype=jnp.asarray(hp["lr_mult"]).dtype)
+    return opt_state._replace(hyperparams=hp)
