@@ -1,0 +1,690 @@
+"""Encoder-decoder transformer family (Pegasus / BART style), TPU-native.
+
+Re-designs the reference's title generators:
+- PegasusHugface (model/lang/pegasus_hugface.py:19-146) — Pegasus-large
+  wrapper whose hand-rolled `generate` re-runs the FULL encoder+decoder for
+  every emitted token with no KV cache (:117-142). Here decoding is a
+  jit-compiled `lax.scan` with per-layer KV caches and precomputed
+  cross-attention K/V: O(1) incremental work per token, greedy-identical
+  to the cacheless loop (causal decoder => same logits).
+- BartHugface (model/lang/bart_hugface.py) — covered by config
+  (post-norm, learned positions with offset 2, tied head).
+- PegasusVisionEmb (model/lang/pegasus_vision_emb.py:19-250) — encoder
+  output fused with chapter vision embeddings through a FusionHead
+  (mlp-pool or cross-attention) and residual-added before decoding.
+  NOTE: the reference's "mlp" branch is dead code (it compares a Module to
+  a string, pegasus_vision_emb.py:96); implemented here as intended.
+
+Pegasus facts reproduced: pre-LN + final LN, static sinusoidal positions
+(fairseq layout: first half sin, second half cos), optional sqrt(d) embed
+scaling, pad(0)-as-decoder-start, eos=1, tied lm_head + final_logits_bias.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Seq2SeqConfig:
+    vocab_size: int = 96103
+    d_model: int = 1024
+    encoder_layers: int = 16
+    decoder_layers: int = 16
+    num_heads: int = 16
+    ffn_dim: int = 4096
+    max_positions: int = 1024
+    dropout: float = 0.1
+    activation: str = "relu"  # pegasus-large: relu; bart: gelu
+    pre_norm: bool = True  # pegasus: True (+final LN); bart: False
+    learned_positions: bool = False  # bart: True
+    position_offset: int = 0  # bart: 2
+    scale_embedding: bool = True  # pegasus-large: True
+    embed_layernorm: bool = False  # bart: LayerNorm right after embeddings
+    tie_lm_head: bool = True
+    pad_token_id: int = 0
+    eos_token_id: int = 1
+    decoder_start_token_id: int = 0
+
+    @classmethod
+    def pegasus_large(cls) -> "Seq2SeqConfig":
+        return cls()
+
+    @classmethod
+    def bart_large(cls) -> "Seq2SeqConfig":
+        return cls(
+            vocab_size=50265, encoder_layers=12, decoder_layers=12,
+            activation="gelu", pre_norm=False, learned_positions=True,
+            position_offset=2, scale_embedding=False, embed_layernorm=True,
+            pad_token_id=1, eos_token_id=2, decoder_start_token_id=2,
+        )
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 128, **kw) -> "Seq2SeqConfig":
+        base = dict(
+            vocab_size=vocab_size, d_model=32, encoder_layers=2,
+            decoder_layers=2, num_heads=2, ffn_dim=64, max_positions=64,
+        )
+        base.update(kw)
+        return cls(**base)
+
+
+def sinusoidal_positions(n_pos: int, dim: int) -> np.ndarray:
+    """Fairseq/Pegasus layout: out[:, :dim//2] = sin(pos/1e4^(2(j//2)/d)) at
+    even j; out[:, dim//2:] = cos at odd j."""
+    pe = np.array(
+        [
+            [pos / np.power(10000, 2 * (j // 2) / dim) for j in range(dim)]
+            for pos in range(n_pos)
+        ]
+    )
+    out = np.zeros((n_pos, dim), dtype=np.float32)
+    half = dim // 2
+    out[:, :half] = np.sin(pe[:, 0::2])
+    out[:, half:] = np.cos(pe[:, 1::2])
+    return out
+
+
+class MultiHeadAttention(nn.Module):
+    cfg: Seq2SeqConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        d = self.cfg.d_model
+        self.q_proj = nn.Dense(d, dtype=self.dtype)
+        self.k_proj = nn.Dense(d, dtype=self.dtype)
+        self.v_proj = nn.Dense(d, dtype=self.dtype)
+        self.out_proj = nn.Dense(d, dtype=self.dtype)
+
+    def __call__(self, q_in, kv_in, bias=None, deterministic=True,
+                 cached_kv: Optional[Tuple] = None):
+        """bias: additive attention bias broadcastable to [B,H,Q,K].
+        cached_kv: precomputed (k, v) [B,K,H,hd]."""
+        cfg = self.cfg
+        h, hd = cfg.num_heads, cfg.d_model // cfg.num_heads
+        q = self.q_proj(q_in).reshape(*q_in.shape[:-1], h, hd)
+        if cached_kv is None:
+            k = self.k_proj(kv_in).reshape(*kv_in.shape[:-1], h, hd)
+            v = self.v_proj(kv_in).reshape(*kv_in.shape[:-1], h, hd)
+        else:
+            k, v = cached_kv
+
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+        if bias is not None:
+            att = att + bias
+        att = jax.nn.softmax(att, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", att, v)
+        ctx = ctx.reshape(*q_in.shape[:-1], cfg.d_model)
+        return self.out_proj(ctx)
+
+    def project_kv(self, kv_in):
+        """Compute (k, v) heads for caching."""
+        cfg = self.cfg
+        h, hd = cfg.num_heads, cfg.d_model // cfg.num_heads
+        return (
+            self.k_proj(kv_in).reshape(*kv_in.shape[:-1], h, hd),
+            self.v_proj(kv_in).reshape(*kv_in.shape[:-1], h, hd),
+        )
+
+
+class FFN(nn.Module):
+    cfg: Seq2SeqConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.fc1 = nn.Dense(self.cfg.ffn_dim, dtype=self.dtype)
+        self.fc2 = nn.Dense(self.cfg.d_model, dtype=self.dtype)
+        self.drop = nn.Dropout(self.cfg.dropout)
+
+    def __call__(self, x, deterministic=True):
+        act = nn.relu if self.cfg.activation == "relu" else (
+            lambda y: nn.gelu(y, approximate=False)
+        )
+        y = act(self.fc1(x))
+        y = self.drop(y, deterministic=deterministic)
+        return self.fc2(y)
+
+
+class EncoderLayer(nn.Module):
+    cfg: Seq2SeqConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.self_attn_layer_norm = nn.LayerNorm(dtype=self.dtype)
+        self.final_layer_norm = nn.LayerNorm(dtype=self.dtype)
+        self.self_attn = MultiHeadAttention(self.cfg, self.dtype)
+        self.ffn = FFN(self.cfg, self.dtype)
+        self.drop = nn.Dropout(self.cfg.dropout)
+
+    def __call__(self, x, bias, deterministic=True):
+        ln1, ln2 = self.self_attn_layer_norm, self.final_layer_norm
+        drop = self.drop
+        if self.cfg.pre_norm:
+            y = ln1(x)
+            y = self.self_attn(y, y, bias, deterministic)
+            x = x + drop(y, deterministic=deterministic)
+            y = self.ffn(ln2(x), deterministic)
+            x = x + drop(y, deterministic=deterministic)
+        else:
+            y = self.self_attn(x, x, bias, deterministic)
+            x = ln1(x + drop(y, deterministic=deterministic))
+            y = self.ffn(x, deterministic)
+            x = ln2(x + drop(y, deterministic=deterministic))
+        return x
+
+
+class DecoderLayer(nn.Module):
+    cfg: Seq2SeqConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.self_attn_layer_norm = nn.LayerNorm(dtype=self.dtype)
+        self.encoder_attn_layer_norm = nn.LayerNorm(dtype=self.dtype)
+        self.final_layer_norm = nn.LayerNorm(dtype=self.dtype)
+        self.self_attn = MultiHeadAttention(self.cfg, self.dtype)
+        self.encoder_attn = MultiHeadAttention(self.cfg, self.dtype)
+        self.ffn = FFN(self.cfg, self.dtype)
+        self.drop = nn.Dropout(self.cfg.dropout)
+
+    def __call__(self, x, enc, self_bias, cross_bias, deterministic=True,
+                 self_cache: Optional[Tuple] = None,
+                 cross_kv: Optional[Tuple] = None,
+                 position: Optional[jax.Array] = None):
+        """Teacher forcing when self_cache is None; incremental step (q len 1)
+        otherwise. Returns (x, new_self_cache)."""
+        cfg = self.cfg
+        ln1 = self.self_attn_layer_norm
+        ln2 = self.encoder_attn_layer_norm
+        ln3 = self.final_layer_norm
+        self_attn, cross_attn = self.self_attn, self.encoder_attn
+        drop = self.drop
+
+        if self_cache is None:
+            if cfg.pre_norm:
+                y = ln1(x)
+                y = self_attn(y, y, self_bias, deterministic)
+                x = x + drop(y, deterministic=deterministic)
+                y = cross_attn(ln2(x), enc, cross_bias, deterministic,
+                               cached_kv=cross_kv)
+                x = x + drop(y, deterministic=deterministic)
+                y = self.ffn(ln3(x), deterministic)
+                x = x + drop(y, deterministic=deterministic)
+            else:
+                y = self_attn(x, x, self_bias, deterministic)
+                x = ln1(x + drop(y, deterministic=deterministic))
+                y = cross_attn(x, enc, cross_bias, deterministic,
+                               cached_kv=cross_kv)
+                x = ln2(x + drop(y, deterministic=deterministic))
+                y = self.ffn(x, deterministic)
+                x = ln3(x + drop(y, deterministic=deterministic))
+            return x, None
+
+        # ---- incremental path: x is [B, 1, D], position scalar ----
+        k_cache, v_cache = self_cache  # [B, T_max, H, hd]
+        if cfg.pre_norm:
+            y = ln1(x)
+        else:
+            y = x
+        k_t, v_t = self_attn.project_kv(y)  # [B,1,H,hd]
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_t.astype(k_cache.dtype), (0, position, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_t.astype(v_cache.dtype), (0, position, 0, 0)
+        )
+        y = self_attn(y, None, self_bias, True, cached_kv=(k_cache, v_cache))
+        if cfg.pre_norm:
+            x = x + y
+            y = cross_attn(ln2(x), enc, cross_bias, True, cached_kv=cross_kv)
+            x = x + y
+            y = self.ffn(ln3(x), True)
+            x = x + y
+        else:
+            x = ln1(x + y)
+            y = cross_attn(x, enc, cross_bias, True, cached_kv=cross_kv)
+            x = ln2(x + y)
+            y = self.ffn(x, True)
+            x = ln3(x + y)
+        return x, (k_cache, v_cache)
+
+
+def _mask_bias(mask, dtype):
+    """[B, K] 1/0 -> additive [B,1,1,K]."""
+    return (1.0 - mask[:, None, None, :].astype(dtype)) * -1e9
+
+
+def _causal_bias(length, dtype):
+    i = jnp.arange(length)[:, None]
+    j = jnp.arange(length)[None, :]
+    return jnp.where(j <= i, 0.0, -1e9).astype(dtype)[None, None]
+
+
+class Seq2Seq(nn.Module):
+    """Configurable encoder-decoder with tied or separate LM head."""
+
+    cfg: Seq2SeqConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        self.shared = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=self.dtype,
+                               name="shared")
+        if cfg.learned_positions:
+            self.enc_pos = nn.Embed(
+                cfg.max_positions + cfg.position_offset, cfg.d_model,
+                dtype=self.dtype, name="enc_pos")
+            self.dec_pos = nn.Embed(
+                cfg.max_positions + cfg.position_offset, cfg.d_model,
+                dtype=self.dtype, name="dec_pos")
+        else:
+            self.sin_pos = jnp.asarray(
+                sinusoidal_positions(cfg.max_positions, cfg.d_model)
+            )
+        self.encoder_layers_mods = [
+            EncoderLayer(cfg, self.dtype, name=f"enc_layer{i}")
+            for i in range(cfg.encoder_layers)
+        ]
+        self.decoder_layers_mods = [
+            DecoderLayer(cfg, self.dtype, name=f"dec_layer{i}")
+            for i in range(cfg.decoder_layers)
+        ]
+        if cfg.pre_norm:
+            self.encoder_ln = nn.LayerNorm(dtype=self.dtype, name="encoder_ln")
+            self.decoder_ln = nn.LayerNorm(dtype=self.dtype, name="decoder_ln")
+        if cfg.embed_layernorm:
+            self.enc_embed_ln = nn.LayerNorm(dtype=self.dtype,
+                                             name="enc_embed_ln")
+            self.dec_embed_ln = nn.LayerNorm(dtype=self.dtype,
+                                             name="dec_embed_ln")
+        if not cfg.tie_lm_head:
+            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
+                                    dtype=self.dtype, name="lm_head")
+        self.final_logits_bias = self.param(
+            "final_logits_bias", nn.initializers.zeros, (cfg.vocab_size,)
+        )
+        self.dropout_mod = nn.Dropout(cfg.dropout)
+
+    # -- shared pieces ----------------------------------------------------
+    def _embed(self, ids, positions, pos_table):
+        cfg = self.cfg
+        x = self.shared(ids)
+        if cfg.scale_embedding:
+            x = x * math.sqrt(cfg.d_model)
+        if cfg.learned_positions:
+            x = x + pos_table(positions + cfg.position_offset)
+        else:
+            x = x + jnp.take(self.sin_pos, positions, axis=0)
+        return x
+
+    def _head(self, hidden):
+        if self.cfg.tie_lm_head:
+            logits = hidden @ self.shared.embedding.T.astype(self.dtype)
+        else:
+            logits = self.lm_head(hidden)
+        # HF keeps final_logits_bias as an untrained buffer
+        return logits + jax.lax.stop_gradient(self.final_logits_bias)
+
+    # -- public api -------------------------------------------------------
+    def encode(self, input_ids, attention_mask, deterministic=True):
+        positions = jnp.arange(input_ids.shape[1])[None, :]
+        x = self._embed(input_ids, positions,
+                        self.enc_pos if self.cfg.learned_positions else None)
+        if self.cfg.embed_layernorm:
+            x = self.enc_embed_ln(x)
+        x = self.dropout_mod(x, deterministic=deterministic)
+        bias = _mask_bias(attention_mask, self.dtype)
+        for layer in self.encoder_layers_mods:
+            x = layer(x, bias, deterministic)
+        if self.cfg.pre_norm:
+            x = self.encoder_ln(x)
+        return x
+
+    def decode(self, decoder_input_ids, enc_hidden, enc_mask,
+               decoder_mask=None, deterministic=True):
+        """Teacher-forced decoding -> logits [B, L, V]."""
+        L = decoder_input_ids.shape[1]
+        positions = jnp.arange(L)[None, :]
+        x = self._embed(decoder_input_ids, positions,
+                        self.dec_pos if self.cfg.learned_positions else None)
+        if self.cfg.embed_layernorm:
+            x = self.dec_embed_ln(x)
+        x = self.dropout_mod(x, deterministic=deterministic)
+        self_bias = _causal_bias(L, self.dtype)
+        if decoder_mask is not None:
+            self_bias = self_bias + _mask_bias(decoder_mask, self.dtype)
+        cross_bias = _mask_bias(enc_mask, self.dtype)
+        for layer in self.decoder_layers_mods:
+            x, _ = layer(x, enc_hidden, self_bias, cross_bias, deterministic)
+        if self.cfg.pre_norm:
+            x = self.decoder_ln(x)
+        return self._head(x)
+
+    def __call__(self, input_ids, attention_mask, decoder_input_ids,
+                 decoder_attention_mask=None, deterministic=True):
+        enc = self.encode(input_ids, attention_mask, deterministic)
+        return self.decode(decoder_input_ids, enc, attention_mask,
+                           decoder_attention_mask, deterministic)
+
+    # -- incremental decoding --------------------------------------------
+    def init_cache(self, batch: int, max_len: int, enc_hidden):
+        """Per-layer KV caches + precomputed cross-attention K/V."""
+        cfg = self.cfg
+        h, hd = cfg.num_heads, cfg.d_model // cfg.num_heads
+        self_caches = []
+        cross_kvs = []
+        for layer in self.decoder_layers_mods:
+            self_caches.append((
+                jnp.zeros((batch, max_len, h, hd), self.dtype),
+                jnp.zeros((batch, max_len, h, hd), self.dtype),
+            ))
+            cross_kvs.append(layer.encoder_attn.project_kv(enc_hidden))
+        return {"self": self_caches, "cross": cross_kvs}
+
+    def decode_step(self, token, position, cache, enc_hidden, enc_mask,
+                    max_len: int):
+        """One incremental step: token [B,1], position scalar int32.
+        Returns (logits [B,V], new_cache)."""
+        cfg = self.cfg
+        x = self._embed(token, position[None, None],
+                        self.dec_pos if cfg.learned_positions else None)
+        if cfg.embed_layernorm:
+            x = self.dec_embed_ln(x)
+        # mask future cache slots
+        key_pos = jnp.arange(max_len)[None, None, None, :]
+        self_bias = jnp.where(key_pos <= position, 0.0, -1e9).astype(self.dtype)
+        cross_bias = _mask_bias(enc_mask, self.dtype)
+        new_self = []
+        for i, layer in enumerate(self.decoder_layers_mods):
+            x, sc = layer(
+                x, enc_hidden, self_bias, cross_bias, True,
+                self_cache=cache["self"][i], cross_kv=cache["cross"][i],
+                position=position,
+            )
+            new_self.append(sc)
+        if cfg.pre_norm:
+            x = self.decoder_ln(x)
+        logits = self._head(x)[:, 0]
+        return logits, {"self": new_self, "cross": cache["cross"]}
+
+
+# ---------------------------------------------------------------------------
+# generation driver
+# ---------------------------------------------------------------------------
+
+
+def top_k_filter(logits, k: int):
+    """Keep top-k logits, set the rest to -inf
+    (common_utils/language_model_utils.py:7-12)."""
+    vals, _ = jax.lax.top_k(logits, k)
+    kth = vals[..., -1:]
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def generate(
+    model: Seq2Seq,
+    variables,
+    input_ids,
+    attention_mask,
+    max_len: int = 30,
+    temperature: float = 1.0,
+    sample: bool = False,
+    top_k: Optional[int] = None,
+    rng: Optional[jax.Array] = None,
+    enc_hidden_override=None,
+):
+    """Batched KV-cached generation (greedy / top-k / sampling).
+
+    Matches the reference loop semantics (pegasus_hugface.py:105-146):
+    start from decoder_start_token_id, emit up to max_len tokens,
+    stop at eos (here: full static loop with post-hoc masking — XLA needs
+    static shapes; tokens after the first eos are replaced by eos).
+    Returns (ids [B, max_len], logits [B, max_len, V]).
+    """
+    cfg = model.cfg
+
+    def apply(method, *a, **kw):
+        return model.apply(variables, *a, method=method, **kw)
+
+    enc = (
+        enc_hidden_override
+        if enc_hidden_override is not None
+        else apply(model.encode, input_ids, attention_mask)
+    )
+    b = input_ids.shape[0]
+    cache = apply(model.init_cache, b, max_len, enc)
+
+    start = jnp.full((b, 1), cfg.decoder_start_token_id, jnp.int32)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def step(carry, pos):
+        token, cache, done, rng = carry
+        logits, cache = apply(
+            model.decode_step, token, pos, cache, enc, attention_mask,
+            max_len=max_len,
+        )
+        scaled = logits / temperature
+        if top_k is not None:
+            scaled = top_k_filter(scaled, top_k)
+        if sample:
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(sub, scaled)
+        else:
+            nxt = jnp.argmax(scaled, axis=-1)
+        nxt = jnp.where(done, cfg.eos_token_id, nxt).astype(jnp.int32)
+        done = done | (nxt == cfg.eos_token_id)
+        return (nxt[:, None], cache, done, rng), (nxt, logits)
+
+    (_, _, _, _), (ids, logits) = jax.lax.scan(
+        step,
+        (start, cache, jnp.zeros((b,), bool), rng),
+        jnp.arange(max_len),
+    )
+    return ids.swapaxes(0, 1), logits.swapaxes(0, 1)
+
+
+def trim_at_eos(ids, eos_token_id: int):
+    """Host-side: cut a generated id row at (and including) the first EOS,
+    like the reference's python loop break (pegasus_hugface.py:139-141)."""
+    out = []
+    for row in np.asarray(ids):
+        row = list(row)
+        if eos_token_id in row:
+            row = row[: row.index(eos_token_id) + 1]
+        out.append(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# vision-conditioned variant
+# ---------------------------------------------------------------------------
+
+
+class VisualLangCrossAttention(nn.Module):
+    """pegasus_vision_emb.py:19-66: lang queries attend over vision tokens;
+    multiplicative key mask (NOT additive — reference quirk :55)."""
+
+    n_embd: int
+    n_head: int
+    output_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query_states, key_value_states, kv_attention_mask=None):
+        b, t1, c = query_states.shape
+        t2 = key_value_states.shape[1]
+        hd = c // self.n_head
+        dense = lambda f, name: nn.Dense(f, dtype=self.dtype, name=name)
+        q = dense(c, "query")(query_states).reshape(b, t1, self.n_head, hd)
+        k = dense(c, "key")(key_value_states).reshape(b, t2, self.n_head, hd)
+        v = dense(c, "value")(key_value_states).reshape(b, t2, self.n_head, hd)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+        if kv_attention_mask is not None:
+            att = att * kv_attention_mask[:, None, None, :].astype(att.dtype)
+        att = jax.nn.softmax(att, axis=-1)
+        y = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, t1, c)
+        return dense(self.output_size, "proj")(y)
+
+
+class VisionFusionHead(nn.Module):
+    """pegasus_vision_emb.py:68-107: project lang hidden states and chapter
+    vision embeddings to a shared space, fuse, map back to lang width."""
+
+    lang_emb_size: int
+    vision_emb_size: int = 2048
+    hidden_size: int = 128
+    fusion_type: str = "cross_attn"  # or "mlp"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, lang_emb, vision_emb, vision_attention_mask=None):
+        lang = nn.Dense(self.hidden_size, use_bias=False, dtype=self.dtype,
+                        name="lang_proj_head")(lang_emb)
+        lang = nn.relu(lang)
+        vision = nn.Dense(self.hidden_size, use_bias=False, dtype=self.dtype,
+                          name="vision_proj_head")(vision_emb)
+        vision = nn.relu(vision)
+
+        if self.fusion_type == "mlp":
+            # as intended by the reference (its runtime branch is dead code):
+            # masked mean-pool vision, broadcast over lang positions, concat
+            if vision_attention_mask is None:
+                pooled = vision.mean(axis=1)
+            else:
+                m = vision_attention_mask[..., None].astype(vision.dtype)
+                pooled = (vision * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+            pooled = jnp.broadcast_to(
+                pooled[:, None], (*lang.shape[:-1], self.hidden_size)
+            )
+            fused = jnp.concatenate([pooled, lang], axis=-1)
+            return nn.Dense(self.lang_emb_size, use_bias=False,
+                            dtype=self.dtype, name="fusion_head")(fused)
+        return VisualLangCrossAttention(
+            self.hidden_size, 8, self.lang_emb_size, dtype=self.dtype,
+            name="fusion_head",
+        )(lang, vision, vision_attention_mask)
+
+
+class Seq2SeqVisionEmb(nn.Module):
+    """PegasusVisionEmb (pegasus_vision_emb.py:110-250): encoder output +
+    FusionHead(vision) residual-added, then decode."""
+
+    cfg: Seq2SeqConfig
+    fusion_type: str = "cross_attn"
+    vision_emb_size: int = 2048
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.seq2seq = Seq2Seq(self.cfg, self.dtype)
+        hidden = 128 if self.fusion_type == "mlp" else self.cfg.d_model
+        # reference: mlp uses hidden 128; cross_attn hidden = d_model
+        self.fusion_head = VisionFusionHead(
+            lang_emb_size=self.cfg.d_model,
+            vision_emb_size=self.vision_emb_size,
+            hidden_size=128 if self.fusion_type == "mlp" else self.cfg.d_model,
+            fusion_type=self.fusion_type,
+            dtype=self.dtype,
+        )
+
+    def encode_fused(self, vision_emb, vision_attention_mask, input_ids,
+                     attention_mask, deterministic=True):
+        enc = self.seq2seq.encode(input_ids, attention_mask, deterministic)
+        fused = self.fusion_head(enc, vision_emb, vision_attention_mask)
+        return fused + enc
+
+    def __call__(self, vision_emb, vision_attention_mask, input_ids,
+                 attention_mask, decoder_input_ids,
+                 decoder_attention_mask=None, deterministic=True):
+        enc = self.encode_fused(
+            vision_emb, vision_attention_mask, input_ids, attention_mask,
+            deterministic,
+        )
+        return self.seq2seq.decode(
+            decoder_input_ids, enc, attention_mask, decoder_attention_mask,
+            deterministic,
+        )
+
+
+# ---------------------------------------------------------------------------
+# HF weight conversion (Pegasus / BART / Marian-style naming)
+# ---------------------------------------------------------------------------
+
+
+def convert_hf_seq2seq(state_dict: Dict[str, Any],
+                       cfg: Seq2SeqConfig) -> Dict[str, Any]:
+    """Convert a HuggingFace Pegasus/BART ForConditionalGeneration state
+    dict into `Seq2Seq` variables. Linear weights transpose to (in, out);
+    sinusoidal position tables are recomputed, learned ones copied."""
+
+    def to_np(v):
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v)
+
+    p: Dict[str, Any] = {}
+
+    def put(path, leaf):
+        node = p
+        for x in path[:-1]:
+            node = node.setdefault(x, {})
+        node[path[-1]] = leaf
+
+    def dense(hf, path):
+        put((*path, "kernel"), to_np(state_dict[hf + ".weight"]).T)
+        if hf + ".bias" in state_dict:
+            put((*path, "bias"), to_np(state_dict[hf + ".bias"]))
+
+    def ln(hf, path):
+        put((*path, "scale"), to_np(state_dict[hf + ".weight"]))
+        put((*path, "bias"), to_np(state_dict[hf + ".bias"]))
+
+    put(("shared", "embedding"), to_np(state_dict["model.shared.weight"]))
+    if cfg.learned_positions:
+        put(("enc_pos", "embedding"),
+            to_np(state_dict["model.encoder.embed_positions.weight"]))
+        put(("dec_pos", "embedding"),
+            to_np(state_dict["model.decoder.embed_positions.weight"]))
+
+    for side, n_layers in (("encoder", cfg.encoder_layers),
+                           ("decoder", cfg.decoder_layers)):
+        short = "enc" if side == "encoder" else "dec"
+        for i in range(n_layers):
+            hf = f"model.{side}.layers.{i}"
+            fl = f"{short}_layer{i}"
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                dense(f"{hf}.self_attn.{proj}", (fl, "self_attn", proj))
+            ln(f"{hf}.self_attn_layer_norm", (fl, "self_attn_layer_norm"))
+            if side == "decoder":
+                for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                    dense(f"{hf}.encoder_attn.{proj}",
+                          (fl, "encoder_attn", proj))
+                ln(f"{hf}.encoder_attn_layer_norm",
+                   (fl, "encoder_attn_layer_norm"))
+            dense(f"{hf}.fc1", (fl, "ffn", "fc1"))
+            dense(f"{hf}.fc2", (fl, "ffn", "fc2"))
+            ln(f"{hf}.final_layer_norm", (fl, "final_layer_norm"))
+
+    if cfg.pre_norm:
+        ln("model.encoder.layer_norm", ("encoder_ln",))
+        ln("model.decoder.layer_norm", ("decoder_ln",))
+    if cfg.embed_layernorm:
+        ln("model.encoder.layernorm_embedding", ("enc_embed_ln",))
+        ln("model.decoder.layernorm_embedding", ("dec_embed_ln",))
+
+    if "final_logits_bias" in state_dict:
+        put(("final_logits_bias",),
+            to_np(state_dict["final_logits_bias"]).reshape(-1))
+    else:
+        put(("final_logits_bias",), np.zeros(cfg.vocab_size, np.float32))
+
+    if not cfg.tie_lm_head and "lm_head.weight" in state_dict:
+        put(("lm_head", "kernel"), to_np(state_dict["lm_head.weight"]).T)
+
+    return {"params": p}
