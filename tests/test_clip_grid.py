@@ -92,6 +92,13 @@ def test_window_clip_indices_padding():
     assert window_clip_indices(0, 10, 2) == [-1, -1, 0, 1, 2]
     assert window_clip_indices(9, 10, 2) == [7, 8, 9, -1, -1]
     assert window_clip_indices(5, 10, 1) == [4, 5, 6]
+    # reference skip_size semantics: neighbors are skip_size grid steps away
+    # (clip_frame_num=16, max_offset=2 -> skip 4: non-overlapping clips)
+    from video_chapter_generation_tpu.data.clip_grid import window_skip_size
+
+    assert window_skip_size(16, 2) == 4
+    assert window_clip_indices(8, 20, 1, skip_size=4) == [4, 8, 12]
+    assert window_clip_indices(2, 20, 1, skip_size=4) == [-1, 2, 6]
 
 
 def test_flatten_video_to_clips_schema():

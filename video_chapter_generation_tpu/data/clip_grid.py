@@ -242,15 +242,27 @@ def chapter_spans(
 
 
 def window_clip_indices(
-    target_idx: int, num_clips_total: int, window_size: int
+    target_idx: int,
+    num_clips_total: int,
+    window_size: int,
+    skip_size: int = 1,
 ) -> List[int]:
     """Indices of the clips in a target-centered window; -1 marks padding
     (out-of-range positions, zero-filled by the dataset).
 
-    Mirrors WindowClipDataset (youtube_dataset.py:444-470): window positions
-    target_idx - w .. target_idx + w.
+    Mirrors WindowClipDataset (youtube_dataset.py:444-452): neighbors step
+    by skip_size = clip_frame_num // (2*max_offset) grid positions (adjacent
+    NON-overlapping clips), covering target ± window_size*skip_size.
     """
     out = []
-    for i in range(target_idx - window_size, target_idx + window_size + 1):
+    for i in range(
+        target_idx - skip_size * window_size,
+        target_idx + skip_size * window_size + 1,
+        skip_size,
+    ):
         out.append(i if 0 <= i < num_clips_total else -1)
     return out
+
+
+def window_skip_size(clip_frame_num: int, max_offset: int = DEFAULT_MAX_OFFSET) -> int:
+    return clip_frame_num // (2 * max_offset)

@@ -1,0 +1,590 @@
+"""Dataset classes: torch-free, deterministic, numpy-batch producing.
+
+Mirrors the reference's dataset zoo (SURVEY §2.2) with two systematic
+changes: (a) every random choice draws from an explicit per-(epoch, index)
+numpy Generator instead of global `random` state — reproducible under any
+worker parallelism; (b) frames are returned as uint8 NHWC (device-side
+fused normalization), not float CHW.
+
+Classes -> reference:
+- ClipDataset            -> YoutubeClipDataset (youtube_dataset.py:23-197)
+- WindowClipDataset      -> WindowClipDataset (youtube_dataset.py:359-539)
+- InferClipDataset       -> InferYoutubeClipDataset
+                            (infer_youtube_video_dataset.py:218-313)
+- InferWindowClipDataset -> InferWindowClipDataset (:429-577)
+- ChapterTitleDataset    -> YoutubeChapterTitleDataset
+                            (youtube_chapter_title_dataset.py:23-158)
+- ChapterTitleVisionEmbDataset -> ...WithVisionEmb (:162-327)
+- AllChapterTitleDataset -> YoutubeAllChapterTitle{,Predict}Dataset
+                            (:330-517, :521-760)
+- SubtitlePretrainDataset -> YoutubeClipSubtitleDatasetForHugFace
+                            (youtube_subtitle_dataset.py:248-408)
+- ContrastiveSubtitleDataset -> YoutubeClipConstrastSubtitleDataset (:415-614)
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.seeding import host_rng
+from ..datasetkit.parsing import clean_str, remove_timestamp
+from .clip_grid import (
+    ClipInfo,
+    build_clip_grid,
+    chapter_spans,
+    frame_indices_for_clip,
+    label_clips,
+    subtitle_text_for_window,
+    valid_cut_points,
+    window_clip_indices,
+    window_skip_size,
+)
+from .corpus import VideoCorpus
+from .frames import FRAME_HW, FrameCache, load_clip_frames
+from .text_encode import (
+    encode_clip_text,
+    encode_encoder_text,
+    encode_title_decoder,
+)
+
+Y_PAD = -1  # ignore-index for token losses (youtube_dataset.py:20)
+
+
+def _video_clip_structure(corpus: VideoCorpus, vid: str, clip_frame_num: int,
+                          fps: int = 1, cut_mode: str = "infer"):
+    image_num = corpus.image_num(vid)
+    cut_points = valid_cut_points(
+        corpus.raw_cut_secs(vid), image_num, fps=fps, mode=cut_mode
+    )
+    max_offset = 2 * fps
+    clips = build_clip_grid(image_num, clip_frame_num, max_offset)
+    labels = label_clips(clips, cut_points, clip_frame_num, max_offset)
+    return image_num, cut_points, clips, labels
+
+
+def _clip_images(corpus, vid, clip, image_num, clip_frame_num, hw, cache):
+    start, end = clip
+    idx = frame_indices_for_clip(start, end, image_num, clip_frame_num)
+    paths = [corpus.frame_path(vid, i) for i in idx]
+    return load_clip_frames(paths, hw, cache)
+
+
+class ClipDataset:
+    """Training sampler: one positive-or-negative clip per video per epoch."""
+
+    def __init__(self, corpus: VideoCorpus, tokenizer, clip_frame_num: int = 16,
+                 max_text_len: int = 100, mode: str = "all", fps: int = 1,
+                 seed: int = 123, hw: int = FRAME_HW):
+        self.corpus = corpus
+        self.tokenizer = tokenizer
+        self.clip_frame_num = clip_frame_num
+        self.max_text_len = max_text_len
+        self.mode = mode
+        self.fps = fps
+        self.seed = seed
+        self.hw = hw
+        self.cache = FrameCache()
+
+    def __len__(self):
+        return len(self.corpus.vids)
+
+    def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        rng = host_rng(self.seed, epoch, i)
+        vid = self.corpus.vids[i]
+        # NOTE: the train variant keeps cut points up to image_num
+        # (youtube_dataset.py:82-87)
+        image_num, cut_points, clips, labels = _video_clip_structure(
+            self.corpus, vid, self.clip_frame_num, self.fps, cut_mode="train"
+        )
+        pos = np.flatnonzero(labels == 1)
+        neg = np.flatnonzero(labels == 0)
+        is_positive = int(rng.integers(0, 2)) if len(pos) else 0
+        pool = pos if is_positive else neg
+        target = int(pool[rng.integers(0, len(pool))])
+        clip = clips[target]
+
+        text = subtitle_text_for_window(
+            self.corpus.subtitles(vid), clip[0], clip[1], 1 * self.fps,
+            fps=self.fps,
+        )
+        ids, mask = encode_clip_text(text, self.tokenizer, self.max_text_len)
+        out = {
+            "text_ids": ids,
+            "attention_mask": mask,
+            "label": np.int32(is_positive),
+        }
+        if self.mode != "text":
+            out["img_clip"] = _clip_images(
+                self.corpus, vid, clip, image_num, self.clip_frame_num,
+                self.hw, self.cache,
+            )
+        return out
+
+
+class WindowClipDataset:
+    """Flagship training sampler: target clip ± window at skip_size."""
+
+    def __init__(self, corpus: VideoCorpus, tokenizer, clip_frame_num: int = 16,
+                 max_text_len: int = 100, window_size: int = 1,
+                 mode: str = "all", fps: int = 1, seed: int = 123,
+                 hw: int = FRAME_HW):
+        self.corpus = corpus
+        self.tokenizer = tokenizer
+        self.clip_frame_num = clip_frame_num
+        self.max_text_len = max_text_len
+        self.window_size = window_size
+        self.mode = mode
+        self.fps = fps
+        self.seed = seed
+        self.hw = hw
+        self.cache = FrameCache()
+
+    def __len__(self):
+        return len(self.corpus.vids)
+
+    def _encode_window(self, vid, clips, image_num, window_indices):
+        subs = self.corpus.subtitles(vid)
+        W = len(window_indices)
+        T, hw = self.clip_frame_num, self.hw
+        text_ids = np.zeros((W, self.max_text_len), np.int32)
+        masks = np.zeros((W, self.max_text_len), np.int32)
+        imgs = (
+            np.zeros((W, T, hw, hw, 3), np.uint8)
+            if self.mode != "text" else None
+        )
+        starts = np.full((W,), -1, np.int32)
+        for w, idx in enumerate(window_indices):
+            if idx == -1:
+                continue  # zero padding (youtube_dataset.py:459-470)
+            clip = clips[idx]
+            starts[w] = clip[0]
+            text = subtitle_text_for_window(
+                subs, clip[0], clip[1], 1 * self.fps, fps=self.fps
+            )
+            ids, m = encode_clip_text(text, self.tokenizer, self.max_text_len)
+            text_ids[w], masks[w] = ids, m
+            if imgs is not None:
+                imgs[w] = _clip_images(
+                    self.corpus, vid, clip, image_num, self.clip_frame_num,
+                    self.hw, self.cache,
+                )
+        return imgs, text_ids, masks, starts
+
+    def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        rng = host_rng(self.seed, epoch, i)
+        vid = self.corpus.vids[i]
+        # window variant filters cut points to [4, image_num-4]
+        # (youtube_dataset.py:404-408)
+        image_num, cut_points, clips, labels = _video_clip_structure(
+            self.corpus, vid, self.clip_frame_num, self.fps, cut_mode="infer"
+        )
+        pos = np.flatnonzero(labels == 1)
+        neg = np.flatnonzero(labels == 0)
+        is_positive = int(rng.integers(0, 2)) if len(pos) else 0
+        pool = pos if is_positive else neg
+        target = int(pool[rng.integers(0, len(pool))])
+
+        skip = window_skip_size(self.clip_frame_num, 2 * self.fps)
+        win = window_clip_indices(target, len(clips), self.window_size, skip)
+        imgs, text_ids, masks, starts = self._encode_window(
+            vid, clips, image_num, win
+        )
+        out = {
+            "text_ids": text_ids,
+            "attention_mask": masks,
+            "label": np.int32(is_positive),
+            "clip_start_frame": starts,
+            "total_frames": np.int32(image_num),
+            "target_clip_idx": np.int32(target),
+            "total_num_clips": np.int32(len(clips)),
+        }
+        if imgs is not None:
+            out["img_clips"] = imgs
+        return out
+
+
+class InferClipDataset:
+    """Sequential eval over precomputed flattened clips (the workhorse)."""
+
+    def __init__(self, clips: Sequence[ClipInfo], tokenizer,
+                 max_text_len: int = 100, mode: str = "all",
+                 hw: int = FRAME_HW):
+        self.all_clip_infos = list(clips)
+        self.tokenizer = tokenizer
+        self.max_text_len = max_text_len
+        self.mode = mode
+        self.hw = hw
+        self.cache = FrameCache()
+
+    @classmethod
+    def from_json(cls, path: str, tokenizer, **kw) -> "InferClipDataset":
+        with open(path) as f:
+            data = json.load(f)
+        return cls([ClipInfo.from_json(d) for d in data], tokenizer, **kw)
+
+    def __len__(self):
+        return len(self.all_clip_infos)
+
+    def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        info = self.all_clip_infos[i]
+        ids, mask = encode_clip_text(
+            info.text_clip, self.tokenizer, self.max_text_len
+        )
+        out = {
+            "text_ids": ids,
+            "attention_mask": mask,
+            "label": np.int32(info.clip_label),
+            "clip_index": np.int32(i),
+        }
+        if self.mode != "text":
+            out["img_clip"] = load_clip_frames(
+                info.image_paths, self.hw, self.cache
+            )
+        return out
+
+
+class InferWindowClipDataset(InferClipDataset):
+    """Eval with window context: groups flattened clips by video and serves
+    target ± window neighbors (infer_youtube_video_dataset.py:429-577)."""
+
+    def __init__(self, clips: Sequence[ClipInfo], tokenizer,
+                 clip_frame_num: int = 16, max_text_len: int = 100,
+                 window_size: int = 1, mode: str = "all", fps: int = 1,
+                 hw: int = FRAME_HW):
+        super().__init__(clips, tokenizer, max_text_len, mode, hw)
+        self.clip_frame_num = clip_frame_num
+        self.window_size = window_size
+        self.fps = fps
+        # group flat indices by vid (clips are stored video-contiguous)
+        self.vid_to_range: Dict[str, Tuple[int, int]] = {}
+        for idx, info in enumerate(self.all_clip_infos):
+            if info.vid not in self.vid_to_range:
+                self.vid_to_range[info.vid] = (idx, idx + 1)
+            else:
+                s, _ = self.vid_to_range[info.vid]
+                self.vid_to_range[info.vid] = (s, idx + 1)
+
+    def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        info = self.all_clip_infos[i]
+        start, end = self.vid_to_range[info.vid]
+        n_clips = end - start
+        local = i - start
+        skip = window_skip_size(self.clip_frame_num, 2 * self.fps)
+        win = window_clip_indices(local, n_clips, self.window_size, skip)
+
+        W = len(win)
+        text_ids = np.zeros((W, self.max_text_len), np.int32)
+        masks = np.zeros((W, self.max_text_len), np.int32)
+        imgs = (
+            np.zeros((W, self.clip_frame_num, self.hw, self.hw, 3), np.uint8)
+            if self.mode != "text" else None
+        )
+        starts = np.full((W,), -1, np.int32)
+        for w, idx in enumerate(win):
+            if idx == -1:
+                continue
+            ci = self.all_clip_infos[start + idx]
+            ids, m = encode_clip_text(
+                ci.text_clip, self.tokenizer, self.max_text_len
+            )
+            text_ids[w], masks[w] = ids, m
+            starts[w] = ci.clip_start_end[0]
+            if imgs is not None:
+                imgs[w] = load_clip_frames(ci.image_paths, self.hw, self.cache)
+
+        out = {
+            "text_ids": text_ids,
+            "attention_mask": masks,
+            "label": np.int32(info.clip_label),
+            "clip_index": np.int32(i),
+            "clip_start_frame": starts,
+            "total_frames": np.int32(n_clips * 0 + 0),  # unused at eval
+            "target_clip_idx": np.int32(local),
+            "total_num_clips": np.int32(n_clips),
+        }
+        if imgs is not None:
+            out["img_clips"] = imgs
+        return out
+
+
+# ---------------------------------------------------------------------------
+# chapter-title datasets
+# ---------------------------------------------------------------------------
+
+
+def _chapter_text(subtitles, start_t, end_t, fps: int = 1) -> str:
+    text = subtitle_text_for_window(
+        subtitles, start_t, end_t, 1 * fps, fps=fps, early_stop=True
+    )
+    return " ".join(text.split()).lower()
+
+
+def _clean_title(description: str) -> str:
+    return remove_timestamp(clean_str(description)).lower()
+
+
+class ChapterTitleDataset:
+    """Random chapter per video -> (chapter subtitles, cleaned title)."""
+
+    def __init__(self, corpus: VideoCorpus, tokenizer, max_text_len: int = 512,
+                 chapter_title_text_len: int = 30, seed: int = 123,
+                 fps: int = 1):
+        self.corpus = corpus
+        self.tokenizer = tokenizer
+        self.max_text_len = max_text_len
+        self.chapter_title_text_len = chapter_title_text_len
+        self.seed = seed
+        self.fps = fps
+
+    def __len__(self):
+        return len(self.corpus.vids)
+
+    def _encode(self, vid, chapter_idx) -> Dict[str, np.ndarray]:
+        rec = self.corpus.records[vid]
+        chapters = self.corpus.chapter_descriptions(vid)
+        duration = round(rec.duration - 1)
+        secs = [c[0] for c in chapters]
+        spans = chapter_spans(secs, duration)
+        start_t, end_t = spans[chapter_idx]
+        title = _clean_title(chapters[chapter_idx][1])
+        text = _chapter_text(self.corpus.subtitles(vid), start_t, end_t,
+                             self.fps)
+        ids, mask = encode_encoder_text(text, self.tokenizer,
+                                        self.max_text_len)
+        dec = encode_title_decoder(title, self.tokenizer,
+                                   self.chapter_title_text_len)
+        return {
+            "text_ids": ids,
+            "attention_mask": mask,
+            **dec,
+            "chapter_start": np.int32(start_t),
+        }
+
+    def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        rng = host_rng(self.seed, epoch, i)
+        vid = self.corpus.vids[i]
+        n = len(self.corpus.records[vid].timestamp_lines)
+        chapter_idx = int(rng.integers(0, n))
+        return self._encode(vid, chapter_idx)
+
+
+class AllChapterTitleDataset(ChapterTitleDataset):
+    """ALL chapters of every video (eval). With `vid2cut_points`, chapters
+    come from PREDICTED cut points instead of GT (the end-to-end eval,
+    youtube_chapter_title_dataset.py:521-760); titles are then matched to
+    the nearest GT chapter for scoring."""
+
+    def __init__(self, corpus, tokenizer, max_text_len=512,
+                 chapter_title_text_len=30, fps: int = 1,
+                 vid2cut_points: Optional[Dict[str, List[int]]] = None):
+        super().__init__(corpus, tokenizer, max_text_len,
+                         chapter_title_text_len, fps=fps)
+        self.items: List[Tuple[str, int, Optional[Tuple[int, float]]]] = []
+        self.vid2cut_points = vid2cut_points
+        for vid in corpus.vids:
+            if vid2cut_points is None:
+                n = len(corpus.records[vid].timestamp_lines)
+                self.items += [(vid, k, None) for k in range(n)]
+            else:
+                cps = vid2cut_points.get(vid, [])
+                duration = round(corpus.records[vid].duration - 1)
+                for k, span in enumerate(chapter_spans(list(cps), duration)):
+                    self.items.append((vid, k, span))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        vid, k, span = self.items[i]
+        if span is None:
+            out = self._encode(vid, k)
+            out["item_index"] = np.int32(i)
+            return out
+        # predicted span: encoder text from the span; target title = nearest
+        # GT chapter's title
+        start_t, end_t = span
+        chapters = self.corpus.chapter_descriptions(vid)
+        nearest = min(chapters, key=lambda c: abs(c[0] - start_t))
+        title = _clean_title(nearest[1])
+        text = _chapter_text(self.corpus.subtitles(vid), start_t, end_t,
+                             self.fps)
+        ids, mask = encode_encoder_text(text, self.tokenizer,
+                                        self.max_text_len)
+        dec = encode_title_decoder(title, self.tokenizer,
+                                   self.chapter_title_text_len)
+        return {
+            "text_ids": ids, "attention_mask": mask, **dec,
+            "chapter_start": np.int32(start_t), "item_index": np.int32(i),
+        }
+
+
+class ChapterTitleVisionEmbDataset(ChapterTitleDataset):
+    """Adds per-16s-block mean-pooled vision embeddings
+    (youtube_chapter_title_dataset.py:222-248): emb_provider(vid, start, end)
+    -> [n_clips, T, 2048] or [n_clips, 2048]; mean-pooled per clip, padded
+    to max_vision_emb with a validity mask."""
+
+    def __init__(self, corpus, tokenizer, emb_provider: Callable,
+                 max_vision_emb: int = 10, emb_dim: int = 2048, **kw):
+        super().__init__(corpus, tokenizer, **kw)
+        self.emb_provider = emb_provider
+        self.max_vision_emb = max_vision_emb
+        self.emb_dim = emb_dim
+
+    def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        out = super().__getitem__(i, epoch)
+        vid = self.corpus.vids[i]
+        start_t = int(out["chapter_start"])
+        embs = self.emb_provider(vid, start_t)
+        vis = np.zeros((self.max_vision_emb, self.emb_dim), np.float32)
+        mask = np.zeros((self.max_vision_emb,), np.int32)
+        for k, e in enumerate(embs[: self.max_vision_emb]):
+            e = np.asarray(e)
+            vis[k] = e.mean(axis=0) if e.ndim == 2 else e
+            mask[k] = 1
+        out["vision_embs"] = vis
+        out["vision_attention_mask"] = mask
+        return out
+
+
+def npy_vision_emb_provider(emb_dir: str, block_sec: int = 16) -> Callable:
+    """Serve the convert2vision_emb.py on-disk layout:
+    <emb_dir>/<vid>/vision_emb_<start>_<end>.npy per clip."""
+    import glob as _glob
+    import os as _os
+
+    def provider(vid: str, chapter_start: int):
+        files = sorted(
+            _glob.glob(_os.path.join(emb_dir, vid, "vision_emb_*.npy")),
+            key=lambda p: int(p.rsplit("_", 2)[1]),
+        )
+        out = []
+        for f in files:
+            start = int(f.rsplit("_", 2)[1])
+            if start >= chapter_start:
+                out.append(np.load(f))
+        return out
+
+    return provider
+
+
+# ---------------------------------------------------------------------------
+# subtitle pretraining datasets
+# ---------------------------------------------------------------------------
+
+
+def mlm_mask(ids: np.ndarray, attention_mask: np.ndarray, vocab_size: int,
+             mask_token_id: int, rng, special_ids=(),
+             mask_prob: float = 0.15) -> Tuple[np.ndarray, np.ndarray]:
+    """BERT MLM corruption (youtube_subtitle_dataset.py:349-402): select 15%
+    of real tokens; 80% -> [MASK], 10% -> random token, 10% -> keep.
+    Returns (corrupted_ids, targets with Y_PAD elsewhere)."""
+    ids = ids.copy()
+    targets = np.full_like(ids, Y_PAD)
+    candidates = np.flatnonzero(
+        (attention_mask == 1) & ~np.isin(ids, list(special_ids))
+    )
+    n = max(1, int(round(len(candidates) * mask_prob))) if len(candidates) else 0
+    if n == 0:
+        return ids, targets
+    chosen = rng.choice(candidates, size=n, replace=False)
+    targets[chosen] = ids[chosen]
+    roll = rng.random(n)
+    for pos, r in zip(chosen, roll):
+        if r < 0.8:
+            ids[pos] = mask_token_id
+        elif r < 0.9:
+            ids[pos] = int(rng.integers(0, vocab_size))
+        # else keep
+    return ids, targets
+
+
+class SubtitlePretrainDataset:
+    """Random 16 s subtitle window per video; BERT-MLM or GPT next-token."""
+
+    def __init__(self, corpus: VideoCorpus, tokenizer, task: str = "mlm",
+                 window_sec: int = 16, max_text_len: int = 100,
+                 seed: int = 123):
+        assert task in ("mlm", "next_token")
+        self.corpus = corpus
+        self.tokenizer = tokenizer
+        self.task = task
+        self.window_sec = window_sec
+        self.max_text_len = max_text_len
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.corpus.vids)
+
+    def _window_text(self, vid: str, rng) -> str:
+        image_num = self.corpus.image_num(vid)
+        hi = max(1, image_num - self.window_sec)
+        start = int(rng.integers(0, hi))
+        return subtitle_text_for_window(
+            self.corpus.subtitles(vid), start, start + self.window_sec
+        )
+
+    def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        rng = host_rng(self.seed, epoch, i)
+        vid = self.corpus.vids[i]
+        text = self._window_text(vid, rng)
+        ids, mask = encode_clip_text(text, self.tokenizer, self.max_text_len)
+        if self.task == "next_token":
+            targets = np.full_like(ids, Y_PAD)
+            real = np.flatnonzero(mask == 1)
+            if len(real) > 1:
+                targets[real[:-1]] = ids[real[1:]]
+            return {"text_ids": ids, "attention_mask": mask,
+                    "targets": targets}
+        specials = self.tokenizer.convert_tokens_to_ids(
+            [self.tokenizer.cls_token, self.tokenizer.pad_token]
+        )
+        mask_id = self.tokenizer.convert_tokens_to_ids(
+            [self.tokenizer.mask_token]
+        )[0]
+        corrupted, targets = mlm_mask(
+            ids, mask, self.tokenizer.vocab_size, mask_id, rng, specials
+        )
+        return {"text_ids": corrupted, "attention_mask": mask,
+                "targets": targets}
+
+
+class ContrastiveSubtitleDataset(SubtitlePretrainDataset):
+    """MoCo pairs: query window + neighboring windows as positive candidates
+    (youtube_subtitle_dataset.py:415-614)."""
+
+    def __init__(self, corpus, tokenizer, num_candidates: int = 4, **kw):
+        super().__init__(corpus, tokenizer, task="mlm", **kw)
+        self.num_candidates = num_candidates
+
+    def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        rng = host_rng(self.seed, epoch, i)
+        vid = self.corpus.vids[i]
+        image_num = self.corpus.image_num(vid)
+        hi = max(1, image_num - self.window_sec)
+        start = int(rng.integers(0, hi))
+        subs = self.corpus.subtitles(vid)
+
+        q_text = subtitle_text_for_window(subs, start, start + self.window_sec)
+        q_ids, q_mask = encode_clip_text(q_text, self.tokenizer,
+                                         self.max_text_len)
+
+        cand_ids = np.zeros((self.num_candidates, self.max_text_len), np.int32)
+        cand_mask = np.zeros_like(cand_ids)
+        for k in range(self.num_candidates):
+            off = int(rng.integers(1, self.window_sec)) * (
+                1 if rng.random() < 0.5 else -1
+            )
+            s = int(np.clip(start + off, 0, hi))
+            text = subtitle_text_for_window(subs, s, s + self.window_sec)
+            cand_ids[k], cand_mask[k] = encode_clip_text(
+                text, self.tokenizer, self.max_text_len
+            )
+        return {
+            "query_ids": q_ids, "query_mask": q_mask,
+            "cand_ids": cand_ids, "cand_mask": cand_mask,
+        }
