@@ -1,0 +1,22 @@
+"""Per-video orchestration: boundary scoring, title generation, embedding
+extraction."""
+
+from .boundary import (
+    make_text_score_fn,
+    make_two_stream_score_fn,
+    make_window_score_fn,
+    score_clips,
+)
+from .vision_emb import extract_vision_embs, make_vision_embed_fn
+from .whole_video import ChapterPipeline, VideoChapters
+
+__all__ = [
+    "make_text_score_fn",
+    "make_two_stream_score_fn",
+    "make_window_score_fn",
+    "score_clips",
+    "extract_vision_embs",
+    "make_vision_embed_fn",
+    "ChapterPipeline",
+    "VideoChapters",
+]

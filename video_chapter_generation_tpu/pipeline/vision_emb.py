@@ -1,0 +1,64 @@
+"""Vision-embedding extraction stage (convert2vision_emb.py:52-215).
+
+Runs the TSM vision backbone over every clip of every video and yields
+[T, 2048] embeddings per clip — in memory, or written in the reference's
+npy layout (<out_dir>/<vid>/vision_emb_<start>_<end>.npy) so downstream
+title+vision training is drop-in compatible.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.metrics import StepTimer
+from ..data.clip_grid import ClipInfo
+from ..data.frames import load_clip_frames
+
+
+def make_vision_embed_fn(vision_model, variables):
+    """uint8 [B,T,H,W,3] -> [B,T,2048] embeddings, jitted, bf16-friendly."""
+    import jax
+
+    from ..ops.preprocess import normalize_frames
+
+    @jax.jit
+    def fn(img_u8):
+        x = normalize_frames(img_u8, out_dtype=vision_model.dtype)
+        return vision_model.apply(variables, x, train=False)
+
+    return fn
+
+
+def extract_vision_embs(
+    clips: Sequence[ClipInfo],
+    embed_fn: Callable,
+    batch_size: int = 16,
+    hw: int = 224,
+    out_dir: Optional[str] = None,
+    timer: Optional[StepTimer] = None,
+) -> Iterator[Tuple[ClipInfo, np.ndarray]]:
+    """Yields (clip, emb [T,2048]); also writes npy files when out_dir set."""
+    timer = timer or StepTimer()
+    n = len(clips)
+    for start in range(0, n, batch_size):
+        rows = clips[start : min(start + batch_size, n)]
+        pad = batch_size - len(rows)
+        timer.start("host_load")
+        imgs = np.stack(
+            [load_clip_frames(c.image_paths, hw) for c in rows]
+            + [np.zeros_like(load_clip_frames(rows[-1].image_paths, hw))] * pad
+        )
+        timer.stop("host_load", len(rows))
+        timer.start("embed")
+        embs = np.asarray(embed_fn(imgs))
+        timer.stop("embed", len(rows) * imgs.shape[1])
+        for c, e in zip(rows, embs):
+            if out_dir is not None:
+                d = os.path.join(out_dir, c.vid)
+                os.makedirs(d, exist_ok=True)
+                s, t = c.clip_start_end
+                np.save(os.path.join(d, f"vision_emb_{s}_{t}.npy"), e)
+            yield c, e

@@ -1,0 +1,119 @@
+"""Per-video end-to-end chaptering: frames + subtitles -> boundaries ->
+cut points -> chapter spans -> titles.
+
+TPU re-design of test_whole_pipeline_per_video.py:27-288: the two stages
+(clip classification, title generation) run as batched jitted calls over
+static shapes instead of per-clip / per-token python loops, and frames flow
+host->device as uint8 with fused on-device normalization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.metrics import StepTimer
+from ..data.clip_grid import chapter_spans, flatten_video_to_clips
+from ..data.corpus import VideoCorpus
+from ..data.datasets import InferClipDataset, _chapter_text
+from ..data.text_encode import encode_encoder_text
+from ..evalkit.boundary import convert_clip_label2cut_point
+from .boundary import score_clips
+
+
+@dataclass
+class VideoChapters:
+    vid: str
+    cut_points: List[int]
+    spans: List
+    titles: List[str]
+    clip_scores: List[float] = field(default_factory=list)
+
+
+class ChapterPipeline:
+    """score_fn: batch dict -> positive prob [B]
+    title_fn: (text_ids [B,L], attention_mask [B,L]) -> generated id rows
+    decode_fn: id row -> text (tokenizer decode)."""
+
+    def __init__(self, corpus: VideoCorpus, tokenizer, score_fn: Callable,
+                 title_fn: Callable, decode_fn: Callable,
+                 clip_frame_num: int = 16, max_text_len: int = 100,
+                 title_input_len: int = 512, batch_size: int = 16,
+                 score_mode: str = "text", fps: int = 1,
+                 hw: int = 224, title_tokenizer=None):
+        self.corpus = corpus
+        self.tokenizer = tokenizer  # boundary (BERT) tokenizer
+        self.title_tokenizer = title_tokenizer or tokenizer
+        self.score_fn = score_fn
+        self.title_fn = title_fn
+        self.decode_fn = decode_fn
+        self.clip_frame_num = clip_frame_num
+        self.max_text_len = max_text_len
+        self.title_input_len = title_input_len
+        self.batch_size = batch_size
+        self.score_mode = score_mode
+        self.fps = fps
+        self.hw = hw
+        self.timer = StepTimer()
+
+    # -- stage 1: boundaries ------------------------------------------------
+    def predict_cut_points(self, vid: str):
+        clips = flatten_video_to_clips(
+            vid, self.corpus.img_dir, self.corpus.image_num(vid),
+            self.corpus.raw_cut_secs(vid), self.corpus.subtitles(vid),
+            self.clip_frame_num, fps=self.fps,
+        )
+        ds = InferClipDataset(clips, self.tokenizer, self.max_text_len,
+                              mode=self.score_mode, hw=self.hw)
+        clips = score_clips(ds, self.score_fn, self.batch_size, self.timer)
+        pred_labels = [c.pred_label for c in clips]
+        cut_points = convert_clip_label2cut_point(
+            pred_labels, self.clip_frame_num, 2 * self.fps
+        )
+        return cut_points, clips
+
+    # -- stage 2: titles ----------------------------------------------------
+    def generate_titles(self, vid: str, cut_points: Sequence[int]) -> List[str]:
+        duration = round(self.corpus.records[vid].duration - 1)
+        spans = chapter_spans(list(cut_points), duration)
+        if not spans:
+            return []
+        subs = self.corpus.subtitles(vid)
+        ids_rows, mask_rows = [], []
+        for start_t, end_t in spans:
+            text = _chapter_text(subs, start_t, end_t, self.fps)
+            ids, mask = encode_encoder_text(text, self.title_tokenizer,
+                                            self.title_input_len)
+            ids_rows.append(ids)
+            mask_rows.append(mask)
+        self.timer.start("title_generate")
+        gen_rows = self.title_fn(np.stack(ids_rows), np.stack(mask_rows))
+        self.timer.stop("title_generate", len(spans))
+        return [self.decode_fn(row) for row in gen_rows]
+
+    # -- end to end -----------------------------------------------------------
+    def run_video(self, vid: str) -> VideoChapters:
+        self.timer.start("video_total")
+        cut_points, clips = self.predict_cut_points(vid)
+        titles = self.generate_titles(vid, cut_points)
+        self.timer.stop("video_total", 1)
+        duration = round(self.corpus.records[vid].duration - 1)
+        return VideoChapters(
+            vid=vid,
+            cut_points=list(cut_points),
+            spans=chapter_spans(list(cut_points), duration),
+            titles=titles,
+            clip_scores=[c.pred_score for c in clips],
+        )
+
+    def run(self, vids: Optional[Sequence[str]] = None) -> Dict[str, VideoChapters]:
+        vids = list(vids or self.corpus.vids)
+        out = {}
+        for vid in vids:
+            out[vid] = self.run_video(vid)
+        return out
+
+    def videos_per_minute(self) -> float:
+        return self.timer.rate("video_total") * 60.0
