@@ -1,0 +1,109 @@
+"""Evaluate a boundary model on precomputed flattened clips.
+
+Replaces test_video_segment_point.py / test_video_segment_update.py:
+scores every clip (static batched, jitted), computes per-video AUC/mAP +
+cut-point P/R/F@0/3/5s + random baseline, writes the reference-format
+result txt and vid2cut_points.json.
+
+    python -m video_chapter_generation_tpu.cli.eval_segment \
+        data.test_clips_json=test_clips.json \
+        model.kind=text --bert_vocab vocab.txt \
+        eval.checkpoint=checkpoints eval.result_file=res.txt
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..data.datasets import InferClipDataset, InferWindowClipDataset
+from ..evalkit.segment_eval import (
+    evaluate_segment_predictions,
+    write_segment_result_files,
+)
+from ..pipeline.boundary import score_clips
+from .common import load_bert_tokenizer, parse_config
+
+
+def main(argv=None):
+    import argparse
+
+    cfg, args = parse_config(argv, "evaluate boundary model")
+    tokenizer = load_bert_tokenizer(args)
+
+    if cfg.model.kind in ("two_stream_window",):
+        ds = InferWindowClipDataset.from_json(
+            cfg.data.test_clips_json, tokenizer,
+            clip_frame_num=cfg.data.clip_frame_num,
+            max_text_len=cfg.data.max_text_len,
+            window_size=cfg.data.window_size, mode=cfg.model.data_mode,
+        )
+    else:
+        ds = InferClipDataset.from_json(
+            cfg.data.test_clips_json, tokenizer,
+            max_text_len=cfg.data.max_text_len, mode=cfg.model.data_mode,
+        )
+
+    score_fn = build_score_fn(cfg, args, tokenizer)
+    score_clips(ds, score_fn, cfg.data.batch_size)
+
+    result = evaluate_segment_predictions(
+        ds.all_clip_infos, cfg.data.clip_frame_num, cfg.data.max_offset,
+        rng=np.random.default_rng(cfg.train.seed),
+    )
+    out_prefix = f"test_results/{cfg.model.kind}_head_{cfg.model.head_type}"
+    write_segment_result_files(
+        result, f"{out_prefix}.txt", f"{out_prefix}_vid2cut_points.json"
+    )
+    for k in ("mAP", "recall_3", "precision_3", "f1_3"):
+        print(k, result[k])
+
+
+def build_score_fn(cfg, args, tokenizer):
+    """Construct the jitted scorer from a checkpointed train state."""
+    import jax
+
+    from ..core.checkpoint import CheckpointManager
+    from ..pipeline.boundary import (
+        make_text_score_fn,
+        make_two_stream_score_fn,
+        make_window_score_fn,
+    )
+    from ..train.loop import create_train_state
+    from ..train.optim import make_optimizer
+    from ..train.tasks import SegmentTask, SegmentTextTask, SegmentWindowTask
+
+    kind = cfg.model.kind
+    if kind == "text":
+        task = SegmentTextTask(cfg, tiny=args.tiny,
+                               vocab_size=tokenizer.vocab_size)
+    elif kind == "two_stream":
+        task = SegmentTask(cfg, tiny=args.tiny)
+    else:
+        task = SegmentWindowTask(cfg, tiny=args.tiny)
+
+    variables = task.init_variables()
+    ckpt = CheckpointManager(cfg.train.ckpt_dir)
+    tx = make_optimizer(cfg.optim, variables["params"])
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape") else x,
+        create_train_state(variables, tx),
+    )
+    restored = ckpt.restore_best(abstract) or ckpt.restore_latest(abstract)
+    if restored is not None:
+        _, state = restored
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        print(f"restored checkpoint at step {int(state.step)}")
+    ckpt.close()
+
+    if kind == "text":
+        return make_text_score_fn(task.model, variables)
+    if kind == "two_stream":
+        return make_two_stream_score_fn(task.model, variables)
+    return make_window_score_fn(task.model, variables)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Dump per-clip vision embeddings (convert2vision_emb.py replacement).
+
+    python -m video_chapter_generation_tpu.cli.extract_vision_emb \
+        data.test_clips_json=clips.json eval.out_dir=vision_embs
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+
+from ..data.clip_grid import ClipInfo
+from ..models.resnet import Resnet50TSM, ResNet
+from ..pipeline.vision_emb import extract_vision_embs, make_vision_embed_fn
+from .common import parse_config
+
+
+def main(argv=None):
+    argv = list(argv if argv is not None else sys.argv[1:])
+    out_dir = "vision_embs"
+    if "--out_dir" in argv:
+        i = argv.index("--out_dir")
+        out_dir = argv[i + 1]
+        del argv[i : i + 2]
+
+    cfg, args = parse_config(argv, "extract vision embeddings")
+    with open(cfg.data.test_clips_json) as f:
+        clips = [ClipInfo.from_json(d) for d in json.load(f)]
+
+    import jax.numpy as jnp
+
+    seg = cfg.data.clip_frame_num
+    dtype = jnp.float32 if args.tiny else jnp.bfloat16
+    model = Resnet50TSM(
+        segments_size=seg, dtype=dtype,
+        stage_sizes=(1, 1, 1, 1) if args.tiny else None,
+    )
+    hw = 64 if args.tiny else 224
+    x0 = jnp.zeros((1, seg, hw, hw, 3), dtype)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), x0, train=False)
+    )()
+    embed_fn = make_vision_embed_fn(model, variables)
+
+    count = 0
+    for _clip, _emb in extract_vision_embs(
+        clips, embed_fn, cfg.data.batch_size, hw, out_dir
+    ):
+        count += 1
+    print(f"wrote {count} clip embeddings to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

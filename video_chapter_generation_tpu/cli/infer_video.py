@@ -1,0 +1,80 @@
+"""Whole-pipeline per-video inference: boundaries -> cut points -> titles.
+
+Replaces test_whole_pipeline_per_video.py with batched, KV-cached stages.
+
+    python -m video_chapter_generation_tpu.cli.infer_video \
+        data.data_file=... data.test_vid_file=... --bert_vocab v.txt \
+        --vids vid1,vid2
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.seq2seq import Seq2SeqConfig, generate, trim_at_eos
+from ..pipeline import ChapterPipeline
+from .common import (
+    load_bert_tokenizer,
+    load_corpus,
+    load_title_tokenizer,
+    parse_config,
+)
+from .eval_segment import build_score_fn
+
+
+def main(argv=None):
+    import sys
+
+    vids = None
+    argv = list(argv if argv is not None else sys.argv[1:])
+    if "--vids" in argv:
+        i = argv.index("--vids")
+        vids = argv[i + 1].split(",")
+        del argv[i : i + 2]
+
+    cfg, args = parse_config(argv, "whole-pipeline per-video inference")
+    corpus = load_corpus(cfg, "test")
+    tokenizer = load_bert_tokenizer(args, corpus)
+    title_tokenizer = load_title_tokenizer(args, corpus)
+
+    score_fn = build_score_fn(cfg, args, tokenizer)
+
+    s2s_cfg = (
+        Seq2SeqConfig.tiny(vocab_size=title_tokenizer.vocab_size)
+        if args.tiny else Seq2SeqConfig.pegasus_large()
+    )
+    from ..train.tasks import TitleGenTask
+
+    task = TitleGenTask(cfg, s2s_cfg)
+    variables = task.init_variables()  # TODO restore title checkpoint
+
+    def title_fn(text_ids, attention_mask):
+        gen_ids, _ = generate(
+            task.model, variables, jnp.asarray(text_ids),
+            jnp.asarray(attention_mask), max_len=cfg.data.title_decode_len,
+        )
+        return trim_at_eos(gen_ids, s2s_cfg.eos_token_id)
+
+    pipe = ChapterPipeline(
+        corpus, tokenizer, score_fn, title_fn,
+        decode_fn=title_tokenizer.decode,
+        clip_frame_num=cfg.data.clip_frame_num,
+        max_text_len=cfg.data.max_text_len,
+        title_input_len=cfg.data.title_input_len,
+        batch_size=cfg.data.batch_size,
+        score_mode=cfg.model.data_mode,
+        title_tokenizer=title_tokenizer,
+    )
+    results = pipe.run(vids)
+    for vid, r in results.items():
+        print(json.dumps({
+            "vid": vid, "cut_points": r.cut_points, "titles": r.titles,
+        }))
+    print(f"throughput: {pipe.videos_per_minute():.2f} videos/min")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Train the chapter-boundary model.
+
+TPU-native replacement for train_video_segment_ddp.py /
+*_deepspeed.py / train_video_segment_point.py — one driver, the
+distribution strategy is just the mesh.
+
+    python -m video_chapter_generation_tpu.cli.train_segment \
+        data.img_dir=... data.data_file=... data.train_vid_file=... \
+        model.kind=two_stream_window model.head_type=mlp \
+        --bert_vocab vocab.txt
+"""
+
+from __future__ import annotations
+
+from ..data.datasets import ClipDataset, WindowClipDataset
+from ..data.loader import DataLoader
+from ..train.loop import Trainer
+from ..train.tasks import SegmentTask, SegmentTextTask, SegmentWindowTask
+from .common import load_bert_tokenizer, load_corpus, parse_config
+
+
+def main(argv=None):
+    cfg, args = parse_config(argv, "train chapter-boundary model")
+    corpus = load_corpus(cfg, "train")
+    val_corpus = load_corpus(cfg, "val")
+    tokenizer = load_bert_tokenizer(args, corpus)
+
+    kind = cfg.model.kind
+    hw = 64 if args.tiny else 224
+    if kind == "two_stream_window":
+        task = SegmentWindowTask(cfg, tiny=args.tiny, hw=hw)
+        make_ds = lambda c: WindowClipDataset(
+            c, tokenizer, cfg.data.clip_frame_num, cfg.data.max_text_len,
+            cfg.data.window_size, cfg.model.data_mode, cfg.data.fps,
+            cfg.train.seed, hw,
+        )
+    elif kind == "two_stream":
+        task = SegmentTask(cfg, tiny=args.tiny, hw=hw)
+        make_ds = lambda c: ClipDataset(
+            c, tokenizer, cfg.data.clip_frame_num, cfg.data.max_text_len,
+            cfg.model.data_mode, cfg.data.fps, cfg.train.seed, hw,
+        )
+    elif kind == "text":
+        task = SegmentTextTask(cfg, tiny=args.tiny,
+                               vocab_size=tokenizer.vocab_size)
+        make_ds = lambda c: ClipDataset(
+            c, tokenizer, cfg.data.clip_frame_num, cfg.data.max_text_len,
+            "text", cfg.data.fps, cfg.train.seed, hw,
+        )
+    else:
+        raise SystemExit(f"unknown model.kind {kind}")
+
+    train_ds, val_ds = make_ds(corpus), make_ds(val_corpus)
+    train_loader = DataLoader(train_ds, cfg.data.batch_size,
+                              seed=cfg.train.seed)
+    val_loader = DataLoader(val_ds, cfg.data.batch_size, shuffle=False,
+                            drop_last=False)
+
+    trainer = Trainer(cfg=cfg, task=task,
+                      train_loader=train_loader, eval_loader=val_loader)
+    metrics = trainer.train()
+    print("final:", metrics, "best:", trainer.best_result)
+    trainer.ckpt.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Train the chapter-title generator (Pegasus recipe).
+
+Replaces train_chapter_title_gen.py (+ _vision_emb / _accelerator
+variants): one driver; vision conditioning via --vision_emb_dir.
+
+    python -m video_chapter_generation_tpu.cli.train_title \
+        data.data_file=... data.train_vid_file=... --spm_tsv pieces.tsv
+"""
+
+from __future__ import annotations
+
+from ..data.datasets import (
+    ChapterTitleDataset,
+    ChapterTitleVisionEmbDataset,
+    npy_vision_emb_provider,
+)
+from ..data.loader import DataLoader
+from ..models.seq2seq import Seq2SeqConfig
+from ..train.loop import Trainer
+from ..train.tasks import TitleGenTask, TitleGenVisionTask
+from .common import load_corpus, load_title_tokenizer, parse_config
+
+
+def main(argv=None):
+    import argparse
+
+    cfg, args = parse_config(argv, "train chapter-title generator")
+    corpus = load_corpus(cfg, "train")
+    val_corpus = load_corpus(cfg, "val")
+    tokenizer = load_title_tokenizer(args, corpus)
+
+    s2s = (
+        Seq2SeqConfig.tiny(vocab_size=tokenizer.vocab_size)
+        if args.tiny
+        else Seq2SeqConfig.pegasus_large()
+    )
+    if not args.tiny:
+        import dataclasses
+
+        s2s = dataclasses.replace(s2s, vocab_size=tokenizer.vocab_size)
+
+    vision_dir = cfg.model.vision_init  # reused: path to vision emb dump
+    if vision_dir:
+        provider = npy_vision_emb_provider(vision_dir)
+        task = TitleGenVisionTask(cfg, s2s)
+        make_ds = lambda c: ChapterTitleVisionEmbDataset(
+            c, tokenizer, provider, max_vision_emb=cfg.data.max_vision_emb,
+            max_text_len=cfg.data.title_input_len,
+            chapter_title_text_len=cfg.data.title_decode_len,
+            seed=cfg.train.seed,
+        )
+    else:
+        task = TitleGenTask(cfg, s2s)
+        make_ds = lambda c: ChapterTitleDataset(
+            c, tokenizer, cfg.data.title_input_len,
+            cfg.data.title_decode_len, cfg.train.seed,
+        )
+
+    train_loader = DataLoader(make_ds(corpus), cfg.data.batch_size,
+                              seed=cfg.train.seed)
+    val_loader = DataLoader(make_ds(val_corpus), cfg.data.batch_size,
+                            shuffle=False, drop_last=False)
+    trainer = Trainer(cfg=cfg, task=task, train_loader=train_loader,
+                      eval_loader=val_loader)
+    metrics = trainer.train()
+    print("final:", metrics)
+    trainer.ckpt.close()
+
+
+if __name__ == "__main__":
+    main()

