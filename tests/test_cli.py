@@ -1,0 +1,134 @@
+"""CLI end-to-end smoke tests on a tiny on-disk corpus (CSV + subtitle
+JSONs + JPEG frames), exercising the same file contract as the reference."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from video_chapter_generation_tpu.datasetkit.parsing import TIMESTAMP_DELIMITER
+
+
+@pytest.fixture(scope="module")
+def disk_corpus(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("corpus")
+    img_dir = root / "frames"
+    cat_dir = root / "howto"
+    cat_dir.mkdir()
+    vids = ["aaa11111111", "bbb22222222"]
+    rows = ["videoId,title,duration,timestamp"]
+    rng = np.random.default_rng(0)
+    image_num = 60
+    for vid in vids:
+        ts = TIMESTAMP_DELIMITER.join(["0:00 intro", "0:24 middle part",
+                                       "0:48 ending"])
+        rows.append(f'{vid},video {vid},{image_num}.0,"{ts}"')
+        subs = [{"text": f"word{i} talk", "start": float(i)}
+                for i in range(0, image_num, 2)]
+        (cat_dir / f"subtitle_{vid}.json").write_text(json.dumps(subs))
+        vdir = img_dir / vid
+        vdir.mkdir(parents=True)
+        for i in range(1, image_num + 4):
+            arr = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(vdir / ("%05d.jpg" % i))
+    (root / "all_in_one.csv").write_text("\n".join(rows) + "\n")
+    (root / "train.txt").write_text("\n".join(vids) + "\n")
+    (root / "val.txt").write_text(vids[0] + "\n")
+    (root / "test.txt").write_text(vids[1] + "\n")
+    return root
+
+
+def _common_overrides(root, tmp, extra=()):
+    return [
+        f'data.img_dir="{root}/frames"',
+        f'data.data_file="{root}/all_in_one.csv"',
+        f'data.train_vid_file="{root}/train.txt"',
+        f'data.val_vid_file="{root}/val.txt"',
+        f'data.test_vid_file="{root}/test.txt"',
+        f'train.ckpt_dir="{tmp}/ckpt"',
+        f'train.log_dir="{tmp}/logs"',
+        "data.batch_size=2",
+        "data.max_text_len=16",
+        "train.max_epochs=1",
+        "train.eval_every_epochs=1",
+        "optim.gradient_accumulation_steps=1",
+        "mesh.data_axis=2",  # tiny batches
+        *extra,
+    ]
+
+
+def test_corpus_from_files(disk_corpus):
+    from video_chapter_generation_tpu.data.corpus import VideoCorpus
+
+    corpus = VideoCorpus.from_files(
+        str(disk_corpus / "frames"), str(disk_corpus / "all_in_one.csv"),
+        str(disk_corpus / "train.txt"),
+    )
+    assert len(corpus) == 2
+    assert corpus.image_num(corpus.vids[0]) == 63  # 60 + 3 extra
+    assert corpus.raw_cut_secs(corpus.vids[0]) == [0, 24, 48]
+    assert len(corpus.subtitles(corpus.vids[0])) == 30
+
+
+def test_train_segment_text_cli(disk_corpus, tmp_path):
+    from video_chapter_generation_tpu.cli import train_segment
+
+    train_segment.main(
+        _common_overrides(disk_corpus, tmp_path, ['model.kind="text"'])
+        + ["--tiny"]
+    )
+    assert os.path.isdir(tmp_path / "ckpt")
+
+
+def test_train_segment_window_cli(disk_corpus, tmp_path):
+    from video_chapter_generation_tpu.cli import train_segment
+
+    train_segment.main(
+        _common_overrides(
+            disk_corpus, tmp_path,
+            ['model.kind="two_stream_window"', "data.clip_frame_num=8",
+             "data.window_size=1"],
+        )
+        + ["--tiny"]
+    )
+
+
+def test_flatten_eval_infer_cli(disk_corpus, tmp_path, monkeypatch):
+    """flatten clips -> eval_segment -> infer_video, chained like the
+    reference's offline pipeline."""
+    from video_chapter_generation_tpu.cli import eval_segment, infer_video
+    from video_chapter_generation_tpu.datasetkit.flatten import main as flatten_main
+
+    clips_json = str(tmp_path / "test_clips.json")
+    flatten_main([
+        f'--img_dir={disk_corpus}/frames',
+        f'--data_file={disk_corpus}/all_in_one.csv',
+        f'--vid_file={disk_corpus}/test.txt',
+        f'--out={clips_json}',
+        '--clip_frame_num=8',
+    ])
+    data = json.load(open(clips_json))
+    assert len(data) > 0 and "image_paths" in data[0]
+
+    monkeypatch.chdir(tmp_path)
+    eval_segment.main(
+        _common_overrides(
+            disk_corpus, tmp_path,
+            ['model.kind="text"', f'data.test_clips_json="{clips_json}"',
+             "data.clip_frame_num=8"],
+        )
+        + ["--tiny"]
+    )
+    assert os.path.exists(tmp_path / "test_results/text_head_mlp.txt")
+
+    infer_video.main(
+        _common_overrides(
+            disk_corpus, tmp_path,
+            ['model.kind="text"', "data.clip_frame_num=8",
+             "data.title_input_len=24", "data.title_decode_len=6"],
+        )
+        + ["--tiny"]
+    )

@@ -28,7 +28,7 @@ def main(argv=None):
     import argparse
 
     cfg, args = parse_config(argv, "evaluate boundary model")
-    tokenizer = load_bert_tokenizer(args)
+    tokenizer = _tokenizer_from_clips(cfg, args)
 
     if cfg.model.kind in ("two_stream_window",):
         ds = InferWindowClipDataset.from_json(
@@ -56,6 +56,19 @@ def main(argv=None):
     )
     for k in ("mAP", "recall_3", "precision_3", "f1_3"):
         print(k, result[k])
+
+
+def _tokenizer_from_clips(cfg, args):
+    """Vocab file if given; otherwise build a vocab from the clip texts."""
+    from ..data.tokenization import WordPieceTokenizer
+
+    if args.bert_vocab:
+        return WordPieceTokenizer.from_vocab_file(args.bert_vocab)
+    import json
+
+    with open(cfg.data.test_clips_json) as f:
+        texts = [d["text_clip"] for d in json.load(f)]
+    return WordPieceTokenizer.build_from_corpus(texts, vocab_size=8000)
 
 
 def build_score_fn(cfg, args, tokenizer):
