@@ -106,14 +106,19 @@ class BertModel(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, deterministic: bool = True,
-                 token_type_ids=None):
+                 token_type_ids=None, input_embeds=None):
+        """input_embeds: optional [B, L, H] word embeddings replacing the
+        lookup of input_ids (used by saliency / integrated gradients)."""
         cfg = self.cfg
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
         positions = jnp.arange(input_ids.shape[-1])[None, :]
 
-        emb = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
-                       name="word_embeddings")(input_ids)
+        if input_embeds is not None:
+            emb = input_embeds
+        else:
+            emb = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
+                           name="word_embeddings")(input_ids)
         emb += nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
                         dtype=self.dtype, name="position_embeddings")(positions)
         emb += nn.Embed(cfg.type_vocab_size, cfg.hidden_size, dtype=self.dtype,
@@ -152,9 +157,11 @@ class BertForChapter(nn.Module):
         else:
             self.head = nn.Dense(2, dtype=self.dtype)
 
-    def __call__(self, text_ids, attention_mask, deterministic: bool = True):
+    def __call__(self, text_ids, attention_mask, deterministic: bool = True,
+                 input_embeds=None):
         hidden, pooled = self.base_model(text_ids, attention_mask,
-                                         deterministic=deterministic)
+                                         deterministic=deterministic,
+                                         input_embeds=input_embeds)
         if self.pretrain_stage:
             logits = self.head(hidden)
         else:

@@ -126,23 +126,35 @@ class ResNet(nn.Module):
         return 2048
 
     @nn.compact
-    def __call__(self, x, train: bool = False, bn_batch_stats: bool = False):
+    def __call__(self, x, train: bool = False, bn_batch_stats: bool = False,
+                 from_stage: int = 0, capture=None):
         """x: [N, H, W, 3] (N = batch*time when TSM enabled, time-major per
-        sample). Returns pooled features [N, 2048]."""
+        sample). Returns pooled features [N, 2048].
+
+        from_stage > 0 skips the stem and earlier stages, taking x as the
+        intermediate activation (used by Grad-CAM, which re-enters from a
+        captured stage input). capture: optional dict receiving stage
+        outputs under 'stage{i}'.
+        """
         use_ra = not train and not bn_batch_stats
-        y = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, name="conv_init",
-        )(x)
-        y = nn.BatchNorm(
-            use_running_average=use_ra, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn_init",
-        )(y)
-        y = nn.relu(y)
-        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        y = x
+        if from_stage == 0:
+            y = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                use_bias=False, dtype=self.dtype, name="conv_init",
+            )(y)
+            y = nn.BatchNorm(
+                use_running_average=use_ra, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn_init",
+            )(y)
+            y = nn.relu(y)
+            y = nn.max_pool(y, (3, 3), strides=(2, 2),
+                            padding=[(1, 1), (1, 1)])
 
         sizes = self.stage_sizes or STAGE_SIZES[self.depth]
         for stage, num_blocks in enumerate(sizes):
+            if stage + 1 <= from_stage:
+                continue
             features = 64 * (2**stage)
             for block in range(num_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
@@ -156,6 +168,8 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{block}",
                 )(y, train=train, bn_batch_stats=bn_batch_stats)
+            if capture is not None:
+                capture[f"stage{stage + 1}"] = y
 
         # global average pool (torchvision avgpool + flatten)
         return jnp.mean(y, axis=(1, 2))
