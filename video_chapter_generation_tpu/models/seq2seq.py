@@ -52,10 +52,26 @@ class Seq2SeqConfig:
     pad_token_id: int = 0
     eos_token_id: int = 1
     decoder_start_token_id: int = 0
+    # long-context option (BigBird-Pegasus analogue): block-sparse encoder
+    # self-attention (models/sparse_attention.py)
+    encoder_attention: str = "full"  # full | block_sparse
+    block_size: int = 64
+    num_rand_blocks: int = 3
+    num_global_blocks: int = 1
 
     @classmethod
     def pegasus_large(cls) -> "Seq2SeqConfig":
         return cls()
+
+    @classmethod
+    def bigbird_pegasus_large(cls) -> "Seq2SeqConfig":
+        """google/bigbird-pegasus-large-arxiv shape: 4096-position encoder
+        with block-sparse attention (pegasus_bigbird.py:19)."""
+        return cls(
+            max_positions=4096, encoder_attention="block_sparse",
+            block_size=64, num_rand_blocks=3, num_global_blocks=1,
+            scale_embedding=True, activation="gelu",
+        )
 
     @classmethod
     def bart_large(cls) -> "Seq2SeqConfig":
@@ -133,6 +149,22 @@ class MultiHeadAttention(nn.Module):
             self.v_proj(kv_in).reshape(*kv_in.shape[:-1], h, hd),
         )
 
+    def sparse_self(self, x, mask):
+        """Block-sparse self-attention over x [B, L, D] with mask [B, L]
+        (BigBird-style; encoder only)."""
+        from .sparse_attention import block_sparse_attention
+
+        cfg = self.cfg
+        h, hd = cfg.num_heads, cfg.d_model // cfg.num_heads
+        q = self.q_proj(x).reshape(*x.shape[:-1], h, hd)
+        k = self.k_proj(x).reshape(*x.shape[:-1], h, hd)
+        v = self.v_proj(x).reshape(*x.shape[:-1], h, hd)
+        ctx = block_sparse_attention(
+            q, k, v, mask, cfg.block_size, cfg.num_rand_blocks,
+            cfg.num_global_blocks,
+        )
+        return self.out_proj(ctx.reshape(*x.shape[:-1], cfg.d_model))
+
 
 class FFN(nn.Module):
     cfg: Seq2SeqConfig
@@ -163,17 +195,24 @@ class EncoderLayer(nn.Module):
         self.ffn = FFN(self.cfg, self.dtype)
         self.drop = nn.Dropout(self.cfg.dropout)
 
-    def __call__(self, x, bias, deterministic=True):
+    def __call__(self, x, bias, deterministic=True, mask=None):
         ln1, ln2 = self.self_attn_layer_norm, self.final_layer_norm
         drop = self.drop
+        sparse = self.cfg.encoder_attention == "block_sparse"
+
+        def attend(y):
+            if sparse:
+                return self.self_attn.sparse_self(y, mask)
+            return self.self_attn(y, y, bias, deterministic)
+
         if self.cfg.pre_norm:
             y = ln1(x)
-            y = self.self_attn(y, y, bias, deterministic)
+            y = attend(y)
             x = x + drop(y, deterministic=deterministic)
             y = self.ffn(ln2(x), deterministic)
             x = x + drop(y, deterministic=deterministic)
         else:
-            y = self.self_attn(x, x, bias, deterministic)
+            y = attend(x)
             x = ln1(x + drop(y, deterministic=deterministic))
             y = self.ffn(x, deterministic)
             x = ln2(x + drop(y, deterministic=deterministic))
@@ -341,7 +380,7 @@ class Seq2Seq(nn.Module):
         x = self.dropout_mod(x, deterministic=deterministic)
         bias = _mask_bias(attention_mask, self.dtype)
         for layer in self.encoder_layers_mods:
-            x = layer(x, bias, deterministic)
+            x = layer(x, bias, deterministic, mask=attention_mask)
         if self.cfg.pre_norm:
             x = self.encoder_ln(x)
         return x

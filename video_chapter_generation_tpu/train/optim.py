@@ -97,3 +97,56 @@ def set_lr_mult(opt_state, mult: float):
     hp = dict(opt_state.hyperparams)
     hp["lr_mult"] = jnp.asarray(mult, dtype=jnp.asarray(hp["lr_mult"]).dtype)
     return opt_state._replace(hyperparams=hp)
+
+
+def make_grouped_optimizer(cfg: OptimConfig, params,
+                           backbone_markers=("lang_model", "vision_model"),
+                           head_lr_mult: float = 2.0):
+    """Domain-specific recipe (two_stream_domain_specific.py:428-441):
+    backbone params at base LR, everything else at head_lr_mult x, with the
+    usual decay/no-decay partition inside each group."""
+    import jax.tree_util as jtu
+
+    decay_mask = no_decay_mask(params)
+
+    def is_backbone(path) -> bool:
+        joined = "/".join(
+            str(getattr(p, "key", p)).lower() for p in path
+        )
+        return any(m in joined for m in backbone_markers)
+
+    backbone = jtu.tree_map_with_path(lambda p, _: is_backbone(p), params)
+
+    def base(lr_mult: float = 1.0):
+        def lr_scale(tree_bool_backbone):
+            # per-leaf multiplier: 1.0 backbone, head_lr_mult others
+            return jtu.tree_map(
+                lambda is_bb: 1.0 if is_bb else head_lr_mult,
+                tree_bool_backbone,
+            )
+
+        mults = lr_scale(backbone)
+
+        def scale_update(updates, state, params=None):
+            del state, params
+            return (
+                jtu.tree_map(lambda u, m: u * m, updates, mults),
+                optax.EmptyState(),
+            )
+
+        per_group = optax.GradientTransformation(
+            lambda params: optax.EmptyState(), scale_update
+        )
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_norm_clip),
+            optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]),
+            optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
+            per_group,
+            optax.scale(-cfg.learning_rate),
+            optax.scale(lr_mult),
+        )
+
+    tx = optax.inject_hyperparams(base)(lr_mult=1.0)
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    return tx
