@@ -109,6 +109,33 @@ class Trainer:
         self.start_epoch = 0
         if self.cfg.train.resume:
             self._try_resume()
+        self._apply_shardings()
+
+    def _apply_shardings(self):
+        """Replicate params/batch_stats over the mesh; ZeRO-shard the
+        optimizer state along 'data' when cfg.mesh.shard_opt_state (the
+        DeepSpeed ZeRO-2 analogue, SURVEY §2.6)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(self.mesh, P())
+        self.state = self.state.replace(
+            params=jax.device_put(self.state.params, replicated),
+            batch_stats=jax.device_put(self.state.batch_stats, replicated),
+        )
+        if self.cfg.mesh.shard_opt_state:
+            specs = pmesh.shard_params_zero(self.mesh, self.state.opt_state)
+            self.state = self.state.replace(
+                opt_state=jax.tree_util.tree_map(
+                    lambda x, s: jax.device_put(x, s)
+                    if hasattr(x, "shape") else x,
+                    self.state.opt_state, specs,
+                    is_leaf=lambda x: hasattr(x, "shape"),
+                )
+            )
+        else:
+            self.state = self.state.replace(
+                opt_state=jax.device_put(self.state.opt_state, replicated)
+            )
 
     # -- checkpoint ------------------------------------------------------
     def _try_resume(self):
