@@ -41,7 +41,7 @@ from .temporal_shift import temporal_shift, temporal_shift_conv1x1
 def _pick_tile(hw: int, c: int, f: int) -> int:
     """Largest spatial tile (multiple of 16 rows if possible, divisor of hw
     preferred) keeping VMEM under ~10MB."""
-    budget = 12 * 1024 * 1024
+    budget = 5 * 1024 * 1024
     # x (bf16) + parts (bf16, 3F masked-W worst case) + out (bf16), T<=16,
     # plus double-buffering headroom (x2)
     bytes_per_row = 2 * 16 * (c * 2 + 3 * f * 2 + f * 2)
