@@ -48,18 +48,44 @@ class TSMConv1x1(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_scale=None, out_bias=None):
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (1, 1, x.shape[-1], self.features),
         )
         kernel = kernel.astype(self.dtype)
+        if out_scale is not None:
+            # inference: folded BN + ReLU epilogue inside the kernel
+            from ..ops.tsm_conv_pallas import tsm_conv1x1_bn_relu_pallas
+
+            return tsm_conv1x1_bn_relu_pallas(
+                x, kernel, out_scale, out_bias, self.n_segment, self.n_div
+            )
         if jax.default_backend() == "tpu":
             from ..ops.tsm_conv_pallas import tsm_conv1x1_pallas
 
             return tsm_conv1x1_pallas(x, kernel, self.n_segment, self.n_div)
         return temporal_shift_conv1x1(x, kernel, self.n_segment, self.n_div)
+
+
+class _BNParams(nn.Module):
+    """Declares BatchNorm-compatible variables (params scale/bias,
+    batch_stats mean/var) WITHOUT computing — used to fold inference BN
+    into the fused TSM-conv kernel epilogue while keeping checkpoints
+    interchangeable with nn.BatchNorm."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros(self.features))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones(self.features))
+        return scale, bias, mean.value, var.value
 
 
 class Bottleneck(nn.Module):
@@ -91,14 +117,24 @@ class Bottleneck(nn.Module):
 
         residual = x
         y = x
-        if self.n_segment > 0 and self.fuse_tsm:
+        fold_bn = self.n_segment > 0 and self.fuse_tsm and use_ra
+        if fold_bn:
+            # inference: fold BN1 + ReLU into the kernel epilogue
+            scale, bias, mean, var = _BNParams(self.features, name="bn1")()
+            s = scale * jax.lax.rsqrt(var + 1e-5)
+            b = bias - mean * s
             y = TSMConv1x1(self.features, self.n_segment, self.n_div,
-                           self.dtype, name="conv1")(y)
+                           self.dtype, name="conv1")(y, out_scale=s,
+                                                     out_bias=b)
         else:
-            if self.n_segment > 0:
-                y = temporal_shift(y, self.n_segment, self.n_div)
-            y = conv(self.features, 1, 1, "conv1")(y)
-        y = nn.relu(bn("bn1")(y))
+            if self.n_segment > 0 and self.fuse_tsm:
+                y = TSMConv1x1(self.features, self.n_segment, self.n_div,
+                               self.dtype, name="conv1")(y)
+            else:
+                if self.n_segment > 0:
+                    y = temporal_shift(y, self.n_segment, self.n_div)
+                y = conv(self.features, 1, 1, "conv1")(y)
+            y = nn.relu(bn("bn1")(y))
         y = conv(self.features, 3, self.stride, "conv2")(y)
         y = nn.relu(bn("bn2")(y))
         y = conv(self.features * 4, 1, 1, "conv3")(y)

@@ -53,11 +53,27 @@ def _pick_tile(hw: int, c: int, f: int) -> int:
     return max(8, (max_tile // 8) * 8)
 
 
-def _kernel_masked_w(x_ref, w_ref, o_ref, *, t_count: int, f_out: int):
-    """x_ref [1,T,tile,C], w_ref [C,3F], o_ref [1,T,tile,F].
+def _epilogue(y, s_ref, b_ref, relu: bool):
+    """Optional fused affine (inference-folded BatchNorm) + ReLU."""
+    if s_ref is not None:
+        y = y * s_ref[0][None, None, :] + b_ref[0][None, None, :]
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y
+
+
+def _kernel_masked_w(x_ref, w_ref, *rest, t_count: int, f_out: int,
+                     relu: bool = False):
+    """x_ref [1,T,tile,C], w_ref [C,3F], o_ref [1,T,tile,F]; optional
+    s_ref/b_ref [1,F] epilogue refs precede o_ref.
 
     ONE [T*tile, C] @ [C, 3F] MXU call, then the temporal shift becomes
     pure in-VMEM slice adds over the partial outputs."""
+    if len(rest) == 3:
+        s_ref, b_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+        s_ref = b_ref = None
     t, tile, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     x2 = x_ref[0].reshape(t * tile, c)
     p = jnp.dot(x2, w_ref[:], preferred_element_type=jnp.float32)
@@ -71,14 +87,21 @@ def _kernel_masked_w(x_ref, w_ref, o_ref, *, t_count: int, f_out: int):
         + jnp.concatenate([left[1:], zpad], axis=0)
         + jnp.concatenate([zpad, right[: t - 1]], axis=0)
     )
-    o_ref[0] = y
+    o_ref[0] = _epilogue(y, s_ref, b_ref, relu)
 
 
-def _kernel_sliced(x_ref, w_ref, o_ref, *, t_count: int, fold: int):
-    """x_ref [1,T,tile,C], w_ref [C,F], o_ref [1,T,tile,F]; fold 128-aligned.
+def _kernel_sliced(x_ref, w_ref, *rest, t_count: int, fold: int,
+                   relu: bool = False):
+    """x_ref [1,T,tile,C], w_ref [C,F], o_ref [1,T,tile,F]; fold
+    128-aligned; optional s_ref/b_ref [1,F] epilogue refs precede o_ref.
 
     Three [T*tile, *] dots on lane-aligned channel slices (no FLOP waste),
     then in-VMEM time-shifted adds."""
+    if len(rest) == 3:
+        s_ref, b_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+        s_ref = b_ref = None
     t, tile, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     f_out = o_ref.shape[-1]
     x3 = x_ref[0]  # [T, tile, C]
@@ -92,14 +115,17 @@ def _kernel_sliced(x_ref, w_ref, o_ref, *, t_count: int, fold: int):
     left = dot2(x3[..., :fold], w_ref[:fold])
     right = dot2(x3[..., fold : 2 * fold], w_ref[fold : 2 * fold])
     zpad = jnp.zeros_like(same[:1])
-    o_ref[0] = (
+    y = (
         same
         + jnp.concatenate([left[1:], zpad], axis=0)
         + jnp.concatenate([zpad, right[: t - 1]], axis=0)
     )
+    o_ref[0] = _epilogue(y, s_ref, b_ref, relu)
 
 
-def _tsm_conv1x1_pallas_fwd(x, kernel, n_segment: int, n_div: int):
+def _tsm_conv1x1_pallas_fwd(x, kernel, n_segment: int, n_div: int,
+                            out_scale=None, out_bias=None,
+                            relu: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -118,7 +144,8 @@ def _tsm_conv1x1_pallas_fwd(x, kernel, n_segment: int, n_div: int):
     use_sliced = fold % 128 == 0
     if use_sliced:
         w_in = w2
-        kern = functools.partial(_kernel_sliced, t_count=t_count, fold=fold)
+        kern = functools.partial(_kernel_sliced, t_count=t_count, fold=fold,
+                                 relu=relu)
         w_shape = (c, f_out)
     else:
         # masked concatenated weight [C, 3F]
@@ -130,23 +157,35 @@ def _tsm_conv1x1_pallas_fwd(x, kernel, n_segment: int, n_div: int):
         w_cat = w_cat.at[2 * fold :, 2 * f_out :].set(w2[2 * fold :])
         w_in = w_cat
         kern = functools.partial(_kernel_masked_w, t_count=t_count,
-                                 f_out=f_out)
+                                 f_out=f_out, relu=relu)
         w_shape = (c, 3 * f_out)
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, t_count, tile, c),
+            lambda i, j: (i, 0, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(w_shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [x4, w_in]
+    if out_scale is not None:
+        in_specs += [
+            pl.BlockSpec((1, f_out), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_out), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [
+            out_scale.reshape(1, f_out).astype(x.dtype),
+            out_bias.reshape(1, f_out).astype(x.dtype),
+        ]
 
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, t_count, hw, f_out), x.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, t_count, tile, c),
-                lambda i, j: (i, 0, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                w_shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, t_count, tile, f_out),
             lambda i, j: (i, 0, j, 0),
@@ -156,9 +195,19 @@ def _tsm_conv1x1_pallas_fwd(x, kernel, n_segment: int, n_div: int):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(x4, w_in)
+    )(*operands)
 
     return out.reshape(nt, h, w, f_out)
+
+
+def tsm_conv1x1_bn_relu_pallas(x, kernel, scale, bias, n_segment: int,
+                               n_div: int = 8):
+    """Inference path: fused [shift -> 1x1 conv -> folded-BN affine ->
+    ReLU] in one kernel (no gradient support — inference only)."""
+    return _tsm_conv1x1_pallas_fwd(
+        x, kernel, n_segment, n_div, out_scale=scale, out_bias=bias,
+        relu=True,
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
