@@ -98,6 +98,7 @@ class Bottleneck(nn.Module):
     n_segment: int = 0  # >0 enables temporal shift
     n_div: int = 8
     fuse_tsm: bool = True  # fuse shift into conv1 (1.8x on v5e)
+    fold_bn_inference: Optional[bool] = None  # None: auto (TPU only)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -117,7 +118,12 @@ class Bottleneck(nn.Module):
 
         residual = x
         y = x
-        fold_bn = self.n_segment > 0 and self.fuse_tsm and use_ra
+        auto_fold = jax.default_backend() == "tpu"
+        fold_bn = (
+            self.n_segment > 0 and self.fuse_tsm and use_ra
+            and (self.fold_bn_inference
+                 if self.fold_bn_inference is not None else auto_fold)
+        )
         if fold_bn:
             # inference: fold BN1 + ReLU into the kernel epilogue
             scale, bias, mean, var = _BNParams(self.features, name="bn1")()
@@ -154,6 +160,7 @@ class ResNet(nn.Module):
     n_segment: int = 0  # >0: TSM on every block ('blockres')
     n_div: int = 8
     fuse_tsm: bool = True
+    fold_bn_inference: Optional[bool] = None
     stage_sizes: Optional[Sequence[int]] = None  # override blocks-per-stage
     dtype: Any = jnp.float32
 
@@ -201,6 +208,7 @@ class ResNet(nn.Module):
                     n_segment=self.n_segment,
                     n_div=self.n_div,
                     fuse_tsm=self.fuse_tsm,
+                    fold_bn_inference=self.fold_bn_inference,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{block}",
                 )(y, train=train, bn_batch_stats=bn_batch_stats)
