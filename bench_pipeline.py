@@ -1,0 +1,134 @@
+"""End-to-end chaptering throughput benchmark (videos/min, single chip).
+
+Full-size models, random weights (throughput is weight-independent):
+- boundary stage: TwoStream (BERT-base + ResNet50-TSM bf16) over all clips
+  of a synthetic 5-minute video (1 fps, 224x224), window stride 4 s
+- title stage: Pegasus-large-shaped seq2seq, KV-cached greedy decode,
+  30 tokens per chapter, encoder input 512
+
+Prints one JSON line {"metric": "e2e_videos_per_min", ...} with the
+north-star (50 videos/min on v5e-8 => 6.25/min/chip) as baseline.
+
+Run: python bench_pipeline.py  (expects a TPU; ~8 min incl. compiles)
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_PER_CHIP = 50.0 / 8.0  # north-star: 50 videos/min on v5e-8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from video_chapter_generation_tpu.models.bert import BertConfig, BertModel
+    from video_chapter_generation_tpu.models.fusion import TwoStream
+    from video_chapter_generation_tpu.models.resnet import ResNet
+    from video_chapter_generation_tpu.models.seq2seq import (
+        Seq2SeqConfig,
+        Seq2Seq,
+        generate,
+    )
+    from video_chapter_generation_tpu.ops.preprocess import normalize_frames
+
+    assert jax.default_backend() == "tpu", "run on TPU"
+
+    VIDEO_SEC = 300           # 5-minute video
+    CLIP_FRAMES = 16
+    STRIDE = 4
+    N_CLIPS = len(range(0, VIDEO_SEC - CLIP_FRAMES, STRIDE))  # 71
+    SCORE_BATCH = 8
+    N_CHAPTERS = 7
+    TEXT_LEN = 100
+    TITLE_IN, TITLE_OUT = 512, 30
+
+    print(f"# clips/video={N_CLIPS}", flush=True)
+
+    # ---- boundary model (bf16) ----
+    bert = BertModel(BertConfig())
+    resnet = ResNet(depth=50, n_segment=CLIP_FRAMES, dtype=jnp.bfloat16)
+    model = TwoStream(lang_model=bert, vision_model=resnet,
+                      segment_size=CLIP_FRAMES, hidden_size=128,
+                      head_type="mlp")
+    rng = np.random.default_rng(0)
+    img0 = jnp.asarray(rng.integers(0, 256,
+                                    (SCORE_BATCH, CLIP_FRAMES, 224, 224, 3),
+                                    dtype=np.uint8))
+    ids0 = jnp.ones((SCORE_BATCH, TEXT_LEN), jnp.int32)
+    t0 = time.time()
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           normalize_frames(img0, out_dtype=jnp.bfloat16),
+                           ids0, jnp.ones_like(ids0))
+    )()
+    print(f"# boundary init {time.time()-t0:.0f}s", flush=True)
+
+    @jax.jit
+    def score(img_u8, ids, mask):
+        x = normalize_frames(img_u8, out_dtype=jnp.bfloat16)
+        _, prob = model.apply(variables, x, ids, mask)
+        return prob[:, 1]
+
+    # ---- title model (pegasus-large shape, bf16) ----
+    s2s_cfg = Seq2SeqConfig.pegasus_large()
+    s2s = Seq2Seq(s2s_cfg, dtype=jnp.bfloat16)
+    enc_ids0 = jnp.ones((N_CHAPTERS, TITLE_IN), jnp.int32)
+    t0 = time.time()
+    s2s_vars = jax.jit(
+        lambda: s2s.init(jax.random.PRNGKey(1), enc_ids0,
+                         jnp.ones_like(enc_ids0), enc_ids0[:, :4])
+    )()
+    print(f"# title init {time.time()-t0:.0f}s", flush=True)
+
+    def titles(enc_ids, enc_mask):
+        return generate(s2s, s2s_vars, enc_ids, enc_mask, max_len=TITLE_OUT)
+
+    # ---- synthetic per-video inputs ----
+    n_batches = -(-N_CLIPS // SCORE_BATCH)
+    imgs = [
+        jnp.asarray(rng.integers(0, 256,
+                                 (SCORE_BATCH, CLIP_FRAMES, 224, 224, 3),
+                                 dtype=np.uint8))
+        for _ in range(2)
+    ]
+    ids = jnp.asarray(rng.integers(0, 30000, (SCORE_BATCH, TEXT_LEN)),
+                      dtype=jnp.int32)
+    mask = jnp.ones_like(ids)
+    enc_ids = jnp.asarray(rng.integers(0, 90000, (N_CHAPTERS, TITLE_IN)),
+                          dtype=jnp.int32)
+    enc_mask = jnp.ones_like(enc_ids)
+
+    def run_video(i):
+        for b in range(n_batches):
+            s = score(imgs[(i + b) % 2], ids, mask)
+        gen_ids, _ = titles(enc_ids, enc_mask)
+        return s, gen_ids
+
+    # warmup/compile
+    t0 = time.time()
+    jax.block_until_ready(run_video(0)[1])
+    print(f"# compile+warm video {time.time()-t0:.0f}s", flush=True)
+
+    N_VIDEOS = 4
+    t0 = time.time()
+    for i in range(N_VIDEOS):
+        s, g = run_video(i)
+    jax.block_until_ready(g)
+    dt = time.time() - t0
+    per_video = dt / N_VIDEOS
+    vpm = 60.0 / per_video
+    print(f"# per-video {per_video*1000:.0f} ms "
+          f"(boundary {n_batches} batches + {N_CHAPTERS} titles)", flush=True)
+    print(json.dumps({
+        "metric": "e2e_videos_per_min_per_chip",
+        "value": round(vpm, 2),
+        "unit": "videos/min/chip",
+        "vs_baseline": round(vpm / BASELINE_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
