@@ -120,3 +120,39 @@ def test_listwise_bert():
     scores = lw.test_forward(params, ids.reshape(b * s, L),
                              mask.reshape(b * s, L))
     assert scores.shape == (b * s, 2)
+
+
+def test_gpt_generate_matches_python_loop():
+    from video_chapter_generation_tpu.models.gpt import gpt_generate
+
+    cfg = GPTConfig(vocab_size=50, block_size=32, n_layer=2, n_head=2,
+                    n_embd=32)
+    m = GPT(cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 50, (2, 8)),
+                      jnp.int32)
+    v = m.init(jax.random.PRNGKey(0), ids)
+    out = gpt_generate(m, v, ids, max_new_tokens=5)
+    assert out.shape == (2, 5)
+    cur = np.asarray(ids)
+    for step in range(5):
+        logits = m.apply(v, jnp.asarray(cur))
+        nxt = np.asarray(jnp.argmax(logits[:, -1], -1))
+        np.testing.assert_array_equal(nxt, np.asarray(out[:, step]))
+        cur = np.concatenate([cur, nxt[:, None]], 1)
+
+
+def test_gpt_generate_eos_freeze():
+    from video_chapter_generation_tpu.models.gpt import gpt_generate
+
+    cfg = GPTConfig(vocab_size=8, block_size=32, n_layer=1, n_head=2,
+                    n_embd=16)
+    m = GPT(cfg)
+    ids = jnp.ones((1, 4), jnp.int32)
+    v = m.init(jax.random.PRNGKey(0), ids)
+    out = np.asarray(gpt_generate(m, v, ids, max_new_tokens=8,
+                                  eos_token_id=0))
+    # after the first eos (if any), everything stays eos
+    row = list(out[0])
+    if 0 in row:
+        i = row.index(0)
+        assert all(x == 0 for x in row[i:])

@@ -156,3 +156,68 @@ def sample_next(rng, logits, temperature: float = 1.0,
     if sample:
         return jax.random.categorical(rng, logits)
     return jnp.argmax(logits, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# incremental decoding
+# ---------------------------------------------------------------------------
+
+
+def gpt_generate(model: GPT, variables, prompt_ids, prompt_len=None,
+                 max_new_tokens: int = 30, temperature: float = 1.0,
+                 top_k: Optional[int] = None, sample: bool = False,
+                 rng=None, eos_token_id: Optional[int] = None):
+    """Autoregressive generation for the decoder-only model.
+
+    Matches the reference sampler semantics
+    (common_utils/language_model_utils.py:14-80): full-context re-forward
+    per token (the reference has no cache either), but jit-compiled with a
+    STATIC padded context via lax.scan — one compilation for any prompt.
+
+    prompt_ids: [B, L] int32, left-aligned; prompt_len: [B] actual lengths
+    (defaults to full L). Returns ids [B, max_new_tokens].
+    """
+    import jax
+
+    b, l = prompt_ids.shape
+    total = l + max_new_tokens
+    assert total <= model.cfg.block_size, "block size exhausted"
+    if prompt_len is None:
+        prompt_len = jnp.full((b,), l, jnp.int32)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    buf = jnp.zeros((b, total), jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, prompt_ids, (0, 0))
+
+    @jax.jit
+    def step(carry, i):
+        buf, done, rng = carry
+        pos = prompt_len - 1 + i  # index of the last real token
+        logits = model.apply(variables, buf)  # [B, total, V]
+        last = jnp.take_along_axis(
+            logits, pos[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        scaled = last / temperature
+        if top_k is not None:
+            from .seq2seq import top_k_filter
+
+            scaled = top_k_filter(scaled, top_k)
+        if sample:
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(sub, scaled).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(scaled, axis=-1).astype(jnp.int32)
+        if eos_token_id is not None:
+            nxt = jnp.where(done, eos_token_id, nxt)
+            done = done | (nxt == eos_token_id)
+        # write at position pos+1 per row
+        row_idx = jnp.arange(b)
+        buf = buf.at[row_idx, pos + 1].set(nxt)
+        return (buf, done, rng), nxt
+
+    (buf, _, _), out = jax.lax.scan(
+        step, (buf, jnp.zeros((b,), bool), rng),
+        jnp.arange(max_new_tokens),
+    )
+    return out.swapaxes(0, 1)
