@@ -50,9 +50,14 @@ def main(argv=None):
     else:
         raise SystemExit(f"unknown model.kind {kind}")
 
+    import jax
+
     train_ds, val_ds = make_ds(corpus), make_ds(val_corpus)
-    train_loader = DataLoader(train_ds, cfg.data.batch_size,
-                              seed=cfg.train.seed)
+    # multi-host: each process loads its shard (DistributedSampler analogue)
+    train_loader = DataLoader(
+        train_ds, cfg.data.batch_size, seed=cfg.train.seed,
+        num_shards=jax.process_count(), shard_index=jax.process_index(),
+    )
     val_loader = DataLoader(val_ds, cfg.data.batch_size, shuffle=False,
                             drop_last=False)
 
