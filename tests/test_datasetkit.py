@@ -100,3 +100,21 @@ def test_gated_stages_raise_cleanly():
         acquire.fetch_asr("x")
     with pytest.raises(RuntimeError):
         acquire.download_video("x", "/tmp/nowhere")
+
+
+def test_easy_hard_splits():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import make_corpus
+
+    from video_chapter_generation_tpu.datasetkit.split import (
+        intersect_split,
+        rouge_upper_bound_split,
+    )
+
+    e, h = intersect_split(["a", "b", "c"], ["a"], ["c", "d"])
+    assert e == ["a"] and h == ["c"]
+
+    corpus = make_corpus(n_videos=2)
+    easy, hard = rouge_upper_bound_split(corpus, threshold=0.0)
+    assert set(easy) | set(hard) == set(corpus.vids)

@@ -51,3 +51,42 @@ def main(argv: Optional[List[str]] = None):
 
 if __name__ == "__main__":
     main()
+
+
+def intersect_split(test_vids: List[str], easy_vids: List[str],
+                    hard_vids: List[str]):
+    """split_easy_hard_testing_vids.py: intersect the test list with
+    manually-labeled easy/hard vid lists."""
+    easy_set, hard_set = set(easy_vids), set(hard_vids)
+    return (
+        [v for v in test_vids if v in easy_set],
+        [v for v in test_vids if v in hard_set],
+    )
+
+
+def rouge_upper_bound_split(corpus, threshold: float = 0.25):
+    """Automatic easy/hard criterion: a video is 'easy' when its chapter
+    titles are extractable from the subtitles — the mean best-window
+    ROUGE-1 F upper bound over its chapters exceeds the threshold
+    (calculate_rouge_score_for_chapter_summary.py analogue)."""
+    from ..data.clip_grid import chapter_spans
+    from ..data.datasets import _chapter_text, _clean_title
+    from ..evalkit.title_eval import principal_baseline
+    from ..evalkit.rouge import rouge_scores
+
+    easy, hard = [], []
+    for vid in corpus.vids:
+        chapters = corpus.chapter_descriptions(vid)
+        duration = round(corpus.records[vid].duration - 1)
+        spans = chapter_spans([c[0] for c in chapters], duration)
+        scores = []
+        for (start, end), (_, desc) in zip(spans, chapters):
+            title = _clean_title(desc)
+            text = _chapter_text(corpus.subtitles(vid), start, end)
+            if not title or not text:
+                continue
+            best = principal_baseline(text)
+            scores.append(rouge_scores(best, title)["rouge-1"]["f"])
+        mean = sum(scores) / len(scores) if scores else 0.0
+        (easy if mean >= threshold else hard).append(vid)
+    return easy, hard
