@@ -23,13 +23,10 @@ class MetricWriter:
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, filename)
         self._f = open(self.path, "a", buffering=1)
-        self._tb = None
-        try:  # optional real tensorboard
-            from torch.utils.tensorboard import SummaryWriter  # type: ignore
+        # real TensorBoard event files via the built-in writer
+        from .tb_writer import TensorBoardWriter
 
-            self._tb = SummaryWriter(log_dir)
-        except Exception:
-            pass
+        self._tb = TensorBoardWriter(log_dir)
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         self._f.write(
