@@ -47,30 +47,57 @@ def main():
 
     print(f"# clips/video={N_CLIPS}", flush=True)
 
-    # ---- boundary model (bf16) ----
+    # ---- boundary model (bf16), staged in three jits: the tunneled
+    # remote-compile rejects the combined HLO (HTTP 413), and staging also
+    # mirrors the production pipeline (vision embed -> text embed -> head)
+    from video_chapter_generation_tpu.models.fusion import ChapterHead
+
     bert = BertModel(BertConfig())
     resnet = ResNet(depth=50, n_segment=CLIP_FRAMES, dtype=jnp.bfloat16)
-    model = TwoStream(lang_model=bert, vision_model=resnet,
-                      segment_size=CLIP_FRAMES, hidden_size=128,
-                      head_type="mlp")
+    head = ChapterHead(segment_size=CLIP_FRAMES, hidden_size=128,
+                       head_type="mlp")
     rng = np.random.default_rng(0)
     img0 = jnp.asarray(rng.integers(0, 256,
                                     (SCORE_BATCH, CLIP_FRAMES, 224, 224, 3),
                                     dtype=np.uint8))
     ids0 = jnp.ones((SCORE_BATCH, TEXT_LEN), jnp.int32)
     t0 = time.time()
-    variables = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0),
-                           normalize_frames(img0, out_dtype=jnp.bfloat16),
-                           ids0, jnp.ones_like(ids0))
+    flat0 = normalize_frames(img0, out_dtype=jnp.bfloat16).reshape(
+        -1, 224, 224, 3)
+    vis_vars = jax.jit(
+        lambda: resnet.init(jax.random.PRNGKey(0), flat0, train=False)
+    )()
+    bert_vars = jax.jit(
+        lambda: bert.init(jax.random.PRNGKey(1), ids0, jnp.ones_like(ids0))
+    )()
+    head_vars = jax.jit(
+        lambda: head.init(jax.random.PRNGKey(2),
+                          jnp.zeros((SCORE_BATCH, 768), jnp.bfloat16),
+                          jnp.zeros((SCORE_BATCH, CLIP_FRAMES, 2048),
+                                    jnp.bfloat16))
     )()
     print(f"# boundary init {time.time()-t0:.0f}s", flush=True)
 
     @jax.jit
-    def score(img_u8, ids, mask):
+    def vision_embed(img_u8):
         x = normalize_frames(img_u8, out_dtype=jnp.bfloat16)
-        _, prob = model.apply(variables, x, ids, mask)
-        return prob[:, 1]
+        flat = x.reshape(-1, 224, 224, 3)
+        return resnet.apply(vis_vars, flat, train=False).reshape(
+            SCORE_BATCH, CLIP_FRAMES, -1)
+
+    @jax.jit
+    def text_embed(ids, mask):
+        _, pooled = bert.apply(bert_vars, ids, mask)
+        return pooled
+
+    @jax.jit
+    def head_score(pooled, vis):
+        logits = head.apply(head_vars, pooled.astype(jnp.bfloat16),
+                            vis.astype(jnp.bfloat16))
+        return jax.nn.softmax(logits, axis=-1)[:, 1]
+
+    def score(img_u8, ids, mask):
+        return head_score(text_embed(ids, mask), vision_embed(img_u8))
 
     # ---- title model (pegasus-large shape, bf16) ----
     s2s_cfg = Seq2SeqConfig.pegasus_large()

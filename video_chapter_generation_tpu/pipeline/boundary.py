@@ -52,15 +52,19 @@ def score_clips(
 
 
 def make_text_score_fn(model, variables):
-    """Positive-class probability from a text-only BertForChapter."""
+    """Positive-class probability from a text-only BertForChapter.
+
+    Weights are jit ARGUMENTS, not closure constants — embedded constants
+    bloat the compile payload (and break tunneled remote compile)."""
     import jax
 
     @jax.jit
-    def fn(text_ids, attention_mask):
-        _, prob = model.apply(variables, text_ids, attention_mask)
+    def fn(v, text_ids, attention_mask):
+        _, prob = model.apply(v, text_ids, attention_mask)
         return prob[:, 1]
 
-    return lambda batch: fn(batch["text_ids"], batch["attention_mask"])
+    return lambda batch: fn(variables, batch["text_ids"],
+                            batch["attention_mask"])
 
 
 def make_two_stream_score_fn(model, variables, normalize=True):
@@ -71,13 +75,14 @@ def make_two_stream_score_fn(model, variables, normalize=True):
     from ..ops.preprocess import normalize_frames
 
     @jax.jit
-    def fn(img_u8, text_ids, attention_mask):
+    def fn(v, img_u8, text_ids, attention_mask):
         img = normalize_frames(img_u8) if normalize else img_u8
-        _, prob = model.apply(variables, img, text_ids, attention_mask)
+        _, prob = model.apply(v, img, text_ids, attention_mask)
         return prob[:, 1]
 
     return lambda batch: fn(
-        batch["img_clip"], batch["text_ids"], batch["attention_mask"]
+        variables, batch["img_clip"], batch["text_ids"],
+        batch["attention_mask"]
     )
 
 
@@ -88,11 +93,12 @@ def make_window_score_fn(model, variables, normalize=True):
     from ..ops.preprocess import normalize_frames
 
     @jax.jit
-    def fn(img_u8, text_ids, attention_mask):
+    def fn(v, img_u8, text_ids, attention_mask):
         img = normalize_frames(img_u8) if normalize else img_u8
-        _, prob = model.apply(variables, img, text_ids, attention_mask)
+        _, prob = model.apply(v, img, text_ids, attention_mask)
         return prob[:, 1]
 
     return lambda batch: fn(
-        batch["img_clips"], batch["text_ids"], batch["attention_mask"]
+        variables, batch["img_clips"], batch["text_ids"],
+        batch["attention_mask"]
     )

@@ -25,11 +25,11 @@ def make_vision_embed_fn(vision_model, variables):
     from ..ops.preprocess import normalize_frames
 
     @jax.jit
-    def fn(img_u8):
+    def fn(v, img_u8):
         x = normalize_frames(img_u8, out_dtype=vision_model.dtype)
-        return vision_model.apply(variables, x, train=False)
+        return vision_model.apply(v, x, train=False)
 
-    return fn
+    return lambda img_u8: fn(variables, img_u8)
 
 
 def extract_vision_embs(
