@@ -214,3 +214,18 @@ def test_loader_sharding_and_prefetch(corpus, wp):
     n0 = sum(1 for _ in l0(0))
     n1 = sum(1 for _ in l1(0))
     assert n0 == n1 == -(-len(ds) // 2)
+
+
+def test_all_clip_dataset(corpus, wp):
+    from video_chapter_generation_tpu.data.datasets import AllClipDataset
+
+    ds = AllClipDataset(corpus, wp, clip_frame_num=16, max_text_len=16,
+                        max_clips=64)
+    item = ds.__getitem__(0, epoch=0)
+    assert item["text_ids"].shape == (64, 16)
+    n = int(item["num_clips"])
+    assert n > 0
+    assert (item["clip_labels"][:n] >= 0).all()
+    assert (item["clip_labels"][n:] == -1).all()
+    assert 0 <= int(item["target_clip_idx"]) < n
+    assert item["label"] == item["clip_labels"][int(item["target_clip_idx"])]

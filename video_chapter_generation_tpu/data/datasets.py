@@ -588,3 +588,53 @@ class ContrastiveSubtitleDataset(SubtitlePretrainDataset):
             "query_ids": q_ids, "query_mask": q_mask,
             "cand_ids": cand_ids, "cand_mask": cand_mask,
         }
+
+
+class AllClipDataset:
+    """ALL clips of one video + a sampled target index per epoch
+    (YoutubeAllClipDataset, youtube_dataset.py:199-357). Returns text for
+    every clip of the video, padded to max_clips, with the target clip's
+    label — the sampler used by slate-style training."""
+
+    def __init__(self, corpus: VideoCorpus, tokenizer, clip_frame_num: int = 16,
+                 max_text_len: int = 100, max_clips: int = 128, fps: int = 1,
+                 seed: int = 123):
+        self.corpus = corpus
+        self.tokenizer = tokenizer
+        self.clip_frame_num = clip_frame_num
+        self.max_text_len = max_text_len
+        self.max_clips = max_clips
+        self.fps = fps
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.corpus.vids)
+
+    def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        rng = host_rng(self.seed, epoch, i)
+        vid = self.corpus.vids[i]
+        image_num, cut_points, clips, labels = _video_clip_structure(
+            self.corpus, vid, self.clip_frame_num, self.fps, "infer"
+        )
+        subs = self.corpus.subtitles(vid)
+        n = min(len(clips), self.max_clips)
+        text_ids = np.zeros((self.max_clips, self.max_text_len), np.int32)
+        masks = np.zeros_like(text_ids)
+        clip_labels = np.full((self.max_clips,), -1, np.int32)
+        for k in range(n):
+            text = subtitle_text_for_window(
+                subs, clips[k][0], clips[k][1], 1 * self.fps, fps=self.fps
+            )
+            text_ids[k], masks[k] = encode_clip_text(
+                text, self.tokenizer, self.max_text_len
+            )
+            clip_labels[k] = labels[k]
+        target = int(rng.integers(0, n))
+        return {
+            "text_ids": text_ids,
+            "attention_mask": masks,
+            "clip_labels": clip_labels,
+            "target_clip_idx": np.int32(target),
+            "label": np.int32(labels[target]),
+            "num_clips": np.int32(n),
+        }
