@@ -132,3 +132,24 @@ def test_flatten_eval_infer_cli(disk_corpus, tmp_path, monkeypatch):
         )
         + ["--tiny"]
     )
+
+
+def test_pretrain_contrastive_cli(disk_corpus, tmp_path):
+    from video_chapter_generation_tpu.cli import pretrain_contrastive
+
+    pretrain_contrastive.main(
+        _common_overrides(disk_corpus, tmp_path,
+                          ["data.batch_size=2", "train.max_epochs=1"])
+        + ["--tiny"]
+    )
+
+
+def test_train_listwise_cli(disk_corpus, tmp_path):
+    from video_chapter_generation_tpu.cli import train_listwise
+
+    train_listwise.main(
+        _common_overrides(disk_corpus, tmp_path,
+                          ["data.batch_size=2", "train.max_epochs=1",
+                           "data.clip_frame_num=8"])
+        + ["--tiny"]
+    )
