@@ -23,28 +23,63 @@ def score_clips(
     score_fn: Callable[[Dict[str, np.ndarray]], np.ndarray],
     batch_size: int = 16,
     timer: Optional[StepTimer] = None,
+    prefetch: int = 2,
 ) -> List[ClipInfo]:
     """Run `score_fn` (batch dict -> positive-class prob [B]) over every
     clip of an InferClipDataset/InferWindowClipDataset; returns the clip
-    list with pred_score/pred_label filled in."""
+    list with pred_score/pred_label filled in.
+
+    Host batch assembly (JPEG decode, tokenized text) runs on a background
+    thread `prefetch` batches ahead, overlapping with device execution —
+    the double-buffered host->TPU feed of the north-star design."""
+    import queue
+    import threading
+
     timer = timer or StepTimer()
     n = len(dataset)
     infos = dataset.all_clip_infos
 
-    for start in range(0, n, batch_size):
+    starts = list(range(0, n, batch_size))
+
+    def make_batch(start):
         rows = list(range(start, min(start + batch_size, n)))
         pad = batch_size - len(rows)
-        timer.start("host_load")
         items = [dataset.__getitem__(i) for i in rows]
         if pad:  # static shapes: repeat the last row, drop its scores
             items += [items[-1]] * pad
-        batch = collate(items)
-        timer.stop("host_load", len(rows))
+        return rows, collate(items)
 
+    if prefetch > 0 and len(starts) > 1:
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for s in starts:
+                    q.put(make_batch(s))
+            finally:
+                q.put(stop)
+
+        threading.Thread(target=producer, daemon=True).start()
+
+        def batches():
+            while True:
+                item = q.get()
+                if item is stop:
+                    return
+                yield item
+    else:
+        def batches():
+            for s in starts:
+                timer.start("host_load")
+                out = make_batch(s)
+                timer.stop("host_load", len(out[0]))
+                yield out
+
+    for rows, batch in batches():
         timer.start("device_score")
         scores = np.asarray(score_fn(batch))
         timer.stop("device_score", len(rows))
-
         for j, i in enumerate(rows):
             infos[i].pred_score = float(scores[j])
             infos[i].pred_label = int(scores[j] >= 0.5)
