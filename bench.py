@@ -2,8 +2,15 @@
 
 Measures the convert2vision_emb.py-equivalent hot path on one TPU chip:
 uint8 frames -> fused normalize -> ResNet50-TSM -> [B, T, 2048] embeddings,
-bf16 compute. Baseline target: 10_000 frames/sec/chip (BASELINE.json
-north-star). Prints ONE JSON line.
+bf16 compute, inference BN folded into the Pallas TSM-conv kernel.
+Baseline target: 10_000 frames/sec/chip (BASELINE.json north-star).
+Prints ONE JSON line.
+
+Methodology: the measured region is an ON-DEVICE lax.fori_loop over ITERS
+model applications (inputs alternate between two real frame batches), and
+completion is forced by fetching the scalar result — through the tunneled
+TPU runtime used here, block_until_ready is a no-op and only host fetches
+synchronize (see PERF.md), so naive timing loops report fiction.
 """
 
 import json
@@ -18,48 +25,44 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from video_chapter_generation_tpu.models.resnet import Resnet50TSM
+    from video_chapter_generation_tpu.models.resnet import ResNet
     from video_chapter_generation_tpu.ops.preprocess import normalize_frames
 
     on_tpu = jax.default_backend() == "tpu"
-    # clip batch x 16 frames @ 224x224 (the system's frame contract)
     if on_tpu:
-        B, T, HW = 16, 16, 224
-        iters, warmup = 20, 3
+        B, T, HW, ITERS = 16, 16, 224, 10
     else:  # smoke mode off-TPU
-        B, T, HW = 1, 4, 64
-        iters, warmup = 2, 1
+        B, T, HW, ITERS = 1, 4, 64, 2
 
-    model = Resnet50TSM(segments_size=T, shift_div=8, dtype=jnp.bfloat16)
+    model = ResNet(depth=50, n_segment=T, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    # cycle distinct inputs so no execution-caching layer can cheat
-    inputs = [
-        jnp.asarray(rng.integers(0, 256, size=(B, T, HW, HW, 3),
-                                 dtype=np.uint8))
-        for _ in range(2)
-    ]
+    stack = jnp.asarray(
+        rng.integers(0, 256, size=(2, B * T, HW, HW, 3), dtype=np.uint8)
+    )
 
-    init_frames = normalize_frames(inputs[0], out_dtype=jnp.bfloat16)
+    x0 = normalize_frames(stack[0], out_dtype=jnp.bfloat16)
     variables = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0), init_frames, train=False)
+        lambda: model.init(jax.random.PRNGKey(0), x0, train=False)
     )()
 
     @jax.jit
-    def embed(frames_u8):
-        x = normalize_frames(frames_u8, out_dtype=jnp.bfloat16)
-        return model.apply(variables, x, train=False)
+    def run(v, stack):
+        def body(k, acc):
+            u8 = jax.lax.dynamic_index_in_dim(stack, k % 2, 0,
+                                              keepdims=False)
+            x = normalize_frames(u8, out_dtype=jnp.bfloat16)
+            out = model.apply(v, x, train=False)
+            # data-dependent accumulation so no iteration can be elided
+            return acc + jnp.sum(out) * (1.0 + 1e-6 * k)
+        return jax.lax.fori_loop(0, ITERS, body, 0.0)
 
-    # warmup / compile
-    for i in range(warmup):
-        jax.block_until_ready(embed(inputs[i % 2]))
+    float(run(variables, stack))  # compile + warm (fetch forces execution)
 
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = embed(inputs[i % 2])
-    jax.block_until_ready(out)
+    _ = float(run(variables, stack))
     dt = time.perf_counter() - t0
 
-    frames_per_sec = B * T * iters / dt
+    frames_per_sec = B * T * ITERS / dt
     print(
         json.dumps(
             {

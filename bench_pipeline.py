@@ -78,26 +78,29 @@ def main():
     )()
     print(f"# boundary init {time.time()-t0:.0f}s", flush=True)
 
+    # weights are jit ARGUMENTS — closed-over parameter trees get embedded
+    # into the tunneled remote-compile payload (HTTP 413)
     @jax.jit
-    def vision_embed(img_u8):
+    def vision_embed(v, img_u8):
         x = normalize_frames(img_u8, out_dtype=jnp.bfloat16)
         flat = x.reshape(-1, 224, 224, 3)
-        return resnet.apply(vis_vars, flat, train=False).reshape(
+        return resnet.apply(v, flat, train=False).reshape(
             SCORE_BATCH, CLIP_FRAMES, -1)
 
     @jax.jit
-    def text_embed(ids, mask):
-        _, pooled = bert.apply(bert_vars, ids, mask)
+    def text_embed(v, ids, mask):
+        _, pooled = bert.apply(v, ids, mask)
         return pooled
 
     @jax.jit
-    def head_score(pooled, vis):
-        logits = head.apply(head_vars, pooled.astype(jnp.bfloat16),
+    def head_score(v, pooled, vis):
+        logits = head.apply(v, pooled.astype(jnp.bfloat16),
                             vis.astype(jnp.bfloat16))
         return jax.nn.softmax(logits, axis=-1)[:, 1]
 
     def score(img_u8, ids, mask):
-        return head_score(text_embed(ids, mask), vision_embed(img_u8))
+        return head_score(head_vars, text_embed(bert_vars, ids, mask),
+                          vision_embed(vis_vars, img_u8))
 
     # ---- title model (pegasus-large shape, bf16) ----
     s2s_cfg = Seq2SeqConfig.pegasus_large()
@@ -110,8 +113,13 @@ def main():
     )()
     print(f"# title init {time.time()-t0:.0f}s", flush=True)
 
+    @jax.jit
+    def titles_jit(v, enc_ids, enc_mask):
+        ids_out, _ = generate(s2s, v, enc_ids, enc_mask, max_len=TITLE_OUT)
+        return ids_out
+
     def titles(enc_ids, enc_mask):
-        return generate(s2s, s2s_vars, enc_ids, enc_mask, max_len=TITLE_OUT)
+        return titles_jit(s2s_vars, enc_ids, enc_mask), None
 
     # ---- synthetic per-video inputs ----
     n_batches = -(-N_CLIPS // SCORE_BATCH)
@@ -129,21 +137,24 @@ def main():
     enc_mask = jnp.ones_like(enc_ids)
 
     def run_video(i):
-        for b in range(n_batches):
-            s = score(imgs[(i + b) % 2], ids, mask)
+        scores = [
+            score(imgs[(i + b) % 2], ids, mask) for b in range(n_batches)
+        ]
         gen_ids, _ = titles(enc_ids, enc_mask)
-        return s, gen_ids
+        # reduce to a scalar and FETCH it: through the tunneled runtime
+        # block_until_ready is a no-op; only host fetches synchronize
+        total = sum(jnp.sum(x) for x in scores) + jnp.sum(gen_ids)
+        return float(total)
 
     # warmup/compile
     t0 = time.time()
-    jax.block_until_ready(run_video(0)[1])
+    run_video(0)
     print(f"# compile+warm video {time.time()-t0:.0f}s", flush=True)
 
     N_VIDEOS = 4
     t0 = time.time()
     for i in range(N_VIDEOS):
-        s, g = run_video(i)
-    jax.block_until_ready(g)
+        run_video(i)
     dt = time.time() - t0
     per_video = dt / N_VIDEOS
     vpm = 60.0 / per_video
