@@ -44,7 +44,7 @@ def _pick_tile(hw: int, c: int, f: int) -> int:
     budget = 5 * 1024 * 1024
     # x (bf16) + parts (bf16, 3F masked-W worst case) + out (bf16), T<=16,
     # plus double-buffering headroom (x2)
-    bytes_per_row = 2 * 16 * (c * 2 + 3 * f * 2 + f * 2)
+    bytes_per_row = 2 * 16 * (c * 2 + 2 * f * 2 + f * 2)
     max_tile = max(16, budget // max(bytes_per_row, 1))
     if hw <= max_tile:
         return hw  # full spatial dim is always a legal block shape
@@ -62,32 +62,50 @@ def _epilogue(y, s_ref, b_ref, relu: bool):
     return y
 
 
-def _kernel_masked_w(x_ref, w_ref, *rest, t_count: int, f_out: int,
-                     relu: bool = False):
-    """x_ref [1,T,tile,C], w_ref [C,3F], o_ref [1,T,tile,F]; optional
-    s_ref/b_ref [1,F] epilogue refs precede o_ref.
+def _kernel_correction(x_ref, w_ref, *rest, t_count: int, fold: int,
+                       relu: bool = False):
+    """x_ref [1,T,tile,C], w_ref [C,F], o_ref [1,T,tile,F]; optional
+    s_ref/b_ref [1,F] epilogue refs precede o_ref. Any fold alignment.
 
-    ONE [T*tile, C] @ [C, 3F] MXU call, then the temporal shift becomes
-    pure in-VMEM slice adds over the partial outputs."""
+    Base-plus-correction formulation: one full [T*tile, C] @ [C, F] conv,
+    then two small K=fold corrections replacing the shifted folds:
+      y[t] = x[t] @ W
+           + (x[t+1] - x[t])[:, :fold]      @ W[:fold]       (t < T-1)
+           + (x[t-1] - x[t])[:, fold:2fold] @ W[fold:2fold]  (t > 0)
+    1.25x conv FLOPs (vs 3x for a masked concatenated weight)."""
     if len(rest) == 3:
         s_ref, b_ref, o_ref = rest
     else:
         (o_ref,) = rest
         s_ref = b_ref = None
     t, tile, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
-    x2 = x_ref[0].reshape(t * tile, c)
-    p = jnp.dot(x2, w_ref[:], preferred_element_type=jnp.float32)
-    p = p.astype(o_ref.dtype).reshape(t, tile, 3 * f_out)
-    left, right, same = (
-        p[..., :f_out], p[..., f_out : 2 * f_out], p[..., 2 * f_out :]
-    )
-    zpad = jnp.zeros_like(same[:1])
-    y = (
-        same
-        + jnp.concatenate([left[1:], zpad], axis=0)
-        + jnp.concatenate([zpad, right[: t - 1]], axis=0)
-    )
-    o_ref[0] = _epilogue(y, s_ref, b_ref, relu)
+    f_out = o_ref.shape[-1]
+    x3 = x_ref[0]  # [T, tile, C]
+
+    base = jnp.dot(
+        x3.reshape(t * tile, c), w_ref[:],
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype).reshape(t, tile, f_out)
+
+    def corr(diff, ws):
+        y = jnp.dot(
+            diff.reshape(-1, diff.shape[-1]), ws,
+            preferred_element_type=jnp.float32,
+        )
+        return y.astype(o_ref.dtype).reshape(t, tile, f_out)
+
+    # fold 0 at t reads x[t+1] (zero at t=T-1): diff = shifted - current
+    xl = x3[:, :, :fold]
+    zl = jnp.zeros((1, tile, fold), x3.dtype)
+    dl = jnp.concatenate([xl[1:], zl], axis=0) - xl
+    cl = corr(dl, w_ref[:fold])
+    # fold 1 at t reads x[t-1] (zero at t=0)
+    xr = x3[:, :, fold : 2 * fold]
+    zr = jnp.zeros((1, tile, fold), x3.dtype)
+    dr = jnp.concatenate([zr, xr[: t - 1]], axis=0) - xr
+    cr = corr(dr, w_ref[fold : 2 * fold])
+
+    o_ref[0] = _epilogue(base + cl + cr, s_ref, b_ref, relu)
 
 
 def _kernel_sliced(x_ref, w_ref, *rest, t_count: int, fold: int,
@@ -142,23 +160,14 @@ def _tsm_conv1x1_pallas_fwd(x, kernel, n_segment: int, n_div: int,
     grid = (b, pl.cdiv(hw, tile))
 
     use_sliced = fold % 128 == 0
+    w_in = w2
+    w_shape = (c, f_out)
     if use_sliced:
-        w_in = w2
         kern = functools.partial(_kernel_sliced, t_count=t_count, fold=fold,
                                  relu=relu)
-        w_shape = (c, f_out)
     else:
-        # masked concatenated weight [C, 3F]
-        w_cat = jnp.zeros((c, 3 * f_out), w2.dtype)
-        w_cat = w_cat.at[:fold, :f_out].set(w2[:fold])
-        w_cat = w_cat.at[fold : 2 * fold, f_out : 2 * f_out].set(
-            w2[fold : 2 * fold]
-        )
-        w_cat = w_cat.at[2 * fold :, 2 * f_out :].set(w2[2 * fold :])
-        w_in = w_cat
-        kern = functools.partial(_kernel_masked_w, t_count=t_count,
-                                 f_out=f_out, relu=relu)
-        w_shape = (c, 3 * f_out)
+        kern = functools.partial(_kernel_correction, t_count=t_count,
+                                 fold=fold, relu=relu)
 
     in_specs = [
         pl.BlockSpec(
