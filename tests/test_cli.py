@@ -153,3 +153,18 @@ def test_train_listwise_cli(disk_corpus, tmp_path):
                            "data.clip_frame_num=8"])
         + ["--tiny"]
     )
+
+
+def test_eval_title_cli(disk_corpus, tmp_path, monkeypatch):
+    from video_chapter_generation_tpu.cli import eval_title
+
+    monkeypatch.chdir(tmp_path)
+    eval_title.main(
+        _common_overrides(
+            disk_corpus, tmp_path,
+            ["data.title_input_len=24", "data.title_decode_len=6",
+             "data.batch_size=2"],
+        )
+        + ["--tiny"]
+    )
+    assert (tmp_path / "test_results/chapter_title_gen/gt_batch_2.txt").exists()

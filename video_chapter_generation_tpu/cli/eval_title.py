@@ -1,0 +1,146 @@
+"""Evaluate the chapter-title generator: teacher-forced loss/accuracy,
+KV-cached generation, ROUGE-1/2/L vs GT with lead/random/principal
+baselines, reference-format result file.
+
+Replaces test_chapter_title_gen.py (+_vision_emb): `--location gt` uses GT
+chapters; `--location pred --cut_points vid2cut_points.json` evaluates on
+predicted chapters (the end-to-end setting, :51-95).
+
+    python -m video_chapter_generation_tpu.cli.eval_title \
+        data.data_file=... data.test_vid_file=... --spm_tsv pieces.tsv
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.datasets import AllChapterTitleDataset
+    from ..data.loader import DataLoader
+    from ..evalkit.title_eval import evaluate_titles, write_title_result_file
+    from ..models.seq2seq import Seq2SeqConfig, generate, trim_at_eos
+    from ..train.objectives import seq2seq_title_loss
+    from ..train.tasks import TitleGenTask
+    from .common import load_corpus, load_title_tokenizer, parse_config
+
+    argv = list(argv if argv is not None else sys.argv[1:])
+    location, cut_points_file = "gt", None
+    if "--location" in argv:
+        i = argv.index("--location")
+        location = argv[i + 1]
+        del argv[i : i + 2]
+    if "--cut_points" in argv:
+        i = argv.index("--cut_points")
+        cut_points_file = argv[i + 1]
+        del argv[i : i + 2]
+
+    cfg, args = parse_config(argv, "evaluate chapter-title generator")
+    corpus = load_corpus(cfg, "test")
+    tokenizer = load_title_tokenizer(args, corpus)
+
+    vid2cut_points = None
+    if location == "pred":
+        with open(cut_points_file) as f:
+            raw = json.load(f)
+        vid2cut_points = {
+            vid: d["second_pred_cut_points"] for vid, d in raw.items()
+        }
+
+    ds = AllChapterTitleDataset(
+        corpus, tokenizer, cfg.data.title_input_len,
+        cfg.data.title_decode_len, vid2cut_points=vid2cut_points,
+    )
+    loader = DataLoader(ds, cfg.data.batch_size, shuffle=False,
+                        drop_last=False)
+
+    s2s_cfg = (Seq2SeqConfig.tiny(vocab_size=tokenizer.vocab_size)
+               if args.tiny else Seq2SeqConfig.pegasus_large())
+    task = TitleGenTask(cfg, s2s_cfg)
+    variables = _restore(cfg, task)
+
+    @jax.jit
+    def forward_metrics(v, batch):
+        logits = task.model.apply(
+            v, batch["text_ids"], batch["attention_mask"],
+            batch["input_decode_ids"], batch["decode_attention_mask"],
+        )
+        _, m = seq2seq_title_loss(
+            logits, batch["target_decode_ids"],
+            batch["decode_attention_mask"],
+        )
+        return m
+
+    @jax.jit
+    def gen(v, ids, mask):
+        out, _ = generate(task.model, v, ids, mask,
+                          max_len=cfg.data.title_decode_len)
+        return out
+
+    losses, accs = [], []
+    gen_texts, gt_texts, source_texts = [], [], []
+    for batch in loader(0):
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        m = forward_metrics(variables, jb)
+        losses.append(float(m["loss"]))
+        accs.append(float(m["acc"]))
+        gen_ids = gen(variables, jb["text_ids"], jb["attention_mask"])
+        for row, tgt, src, dmask in zip(
+            trim_at_eos(gen_ids, s2s_cfg.eos_token_id),
+            np.asarray(batch["target_decode_ids"]),
+            np.asarray(batch["text_ids"]),
+            np.asarray(batch["decode_attention_mask"]),
+        ):
+            gen_texts.append(tokenizer.decode(row))
+            gt_texts.append(
+                tokenizer.decode(list(tgt[: int(dmask.sum())]))
+            )
+            source_texts.append(tokenizer.decode(list(src)))
+
+    result = evaluate_titles(
+        gen_texts, gt_texts, source_texts,
+        test_loss=float(np.mean(losses)), test_acc=float(np.mean(accs)),
+        seed=cfg.train.seed,
+    )
+    out_file = f"test_results/chapter_title_gen/{location}_batch_{cfg.data.batch_size}.txt"
+    write_title_result_file(result, out_file)
+    print("test_loss", result["test_loss"], "test_acc", result["test_acc"])
+    for k in ("generated", "lead", "random", "principal"):
+        print(k, "rouge-1 f", result[k]["rouge-1"]["f"])
+
+
+def _restore(cfg, task):
+    import jax
+
+    from ..core.checkpoint import CheckpointManager
+    from ..train.loop import create_train_state
+    from ..train.optim import make_optimizer
+
+    variables = task.init_variables()
+    try:
+        ckpt = CheckpointManager(cfg.train.ckpt_dir)
+        tx = make_optimizer(cfg.optim, variables["params"])
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape") else x,
+            create_train_state(variables, tx),
+        )
+        restored = ckpt.restore_best(abstract) or ckpt.restore_latest(abstract)
+        if restored is not None:
+            _, state = restored
+            variables = {"params": state.params}
+            print(f"restored checkpoint at step {int(state.step)}")
+        ckpt.close()
+    except Exception as e:  # no checkpoint: random weights (smoke/CI)
+        print(f"no checkpoint restored ({e})")
+    return variables
+
+
+if __name__ == "__main__":
+    main()

@@ -69,10 +69,24 @@ def main(argv=None):
         title_tokenizer=title_tokenizer,
     )
     results = pipe.run(vids)
-    for vid, r in results.items():
-        print(json.dumps({
-            "vid": vid, "cut_points": r.cut_points, "titles": r.titles,
-        }))
+    import os
+
+    os.makedirs("test_results", exist_ok=True)
+    out_path = "test_results/whole_pipeline_result.txt"
+    with open(out_path, "w") as f:
+        for vid, r in results.items():
+            line = json.dumps({
+                "vid": vid, "cut_points": r.cut_points, "titles": r.titles,
+            })
+            print(line)
+            f.write(f"vid: {vid}\n")
+            f.write(f"pred cut points: {r.cut_points}\n")
+            gt = corpus.raw_cut_secs(vid)
+            f.write(f"gt cut points: {gt}\n")
+            for (start, end), title in zip(r.spans, r.titles):
+                f.write(f"  [{start} - {end}] {title}\n")
+            f.write("\n")
+    print(f"wrote {out_path}")
     print(f"throughput: {pipe.videos_per_minute():.2f} videos/min")
 
 
