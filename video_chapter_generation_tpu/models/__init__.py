@@ -2,6 +2,12 @@
 
 from .bert import BertConfig, BertForChapter, BertModel, convert_hf_bert
 from .contrastive import ListwiseBert, MoCoState, MoCoTextEncoder
+from .convert_reference import (
+    convert_base_chapter_head,
+    convert_stacked_window_attention,
+    convert_two_stream_window,
+    convert_window_chapter_head,
+)
 from .fusion import (
     ChapterHead,
     CrossAttentionHead,
@@ -11,6 +17,12 @@ from .fusion import (
     TwoStreamWindow,
     WindowChapterHead,
 )
+from .fusion_variants import (
+    DomainSpecificChapterHead,
+    SingleBlockWindowClassifier,
+    TwoStreamDomainSpecific,
+)
+from .sparse_attention import block_sparse_attention
 from .gpt import GPT, GPTConfig, gpt_loss, sample_next
 from .resnet import (
     ResNet,
@@ -29,6 +41,10 @@ from .seq2seq import (
 
 __all__ = [
     "BertConfig", "BertForChapter", "BertModel", "convert_hf_bert",
+    "convert_base_chapter_head", "convert_stacked_window_attention",
+    "convert_two_stream_window", "convert_window_chapter_head",
+    "DomainSpecificChapterHead", "SingleBlockWindowClassifier",
+    "TwoStreamDomainSpecific", "block_sparse_attention",
     "ListwiseBert", "MoCoState", "MoCoTextEncoder",
     "ChapterHead", "CrossAttentionHead", "SelfAttentionHead",
     "StackedWindowAttention", "TwoStream", "TwoStreamWindow",
