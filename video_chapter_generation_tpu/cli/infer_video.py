@@ -47,9 +47,12 @@ def main(argv=None):
         if args.tiny else Seq2SeqConfig.pegasus_large()
     )
     from ..train.tasks import TitleGenTask
+    from .eval_title import _restore
 
     task = TitleGenTask(cfg, s2s_cfg)
-    variables = task.init_variables()  # TODO restore title checkpoint
+    # restores the best/latest title checkpoint from cfg.train.ckpt_dir
+    # when one exists; random weights otherwise (smoke mode)
+    variables = _restore(cfg, task)
 
     def title_fn(text_ids, attention_mask):
         gen_ids, _ = generate(
