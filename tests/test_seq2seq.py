@@ -198,3 +198,62 @@ def test_vision_emb_model():
     out2 = m2.apply(v2, vis, vmask, jnp.asarray(ids), jnp.asarray(mask),
                     jnp.asarray(dec))
     assert out2.shape == (2, 6, 128)
+
+
+def test_beam_search_beam1_matches_greedy(ours_pegasus):
+    from video_chapter_generation_tpu.models.seq2seq import beam_search
+
+    model, variables, cfg = ours_pegasus
+    ids, mask, _ = _inputs(b=2)
+    greedy_ids, _ = generate(model, variables, jnp.asarray(ids),
+                             jnp.asarray(mask), max_len=8)
+    beam_ids, _ = beam_search(model, variables, jnp.asarray(ids),
+                              jnp.asarray(mask), num_beams=1, max_len=8)
+    np.testing.assert_array_equal(np.asarray(greedy_ids),
+                                  np.asarray(beam_ids))
+
+
+def test_beam_search_finds_higher_likelihood(ours_pegasus):
+    """Beam>1 must return a sequence with log-likelihood >= greedy's."""
+    from video_chapter_generation_tpu.models.seq2seq import beam_search
+
+    model, variables, cfg = ours_pegasus
+    ids, mask, _ = _inputs(b=2)
+    ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
+
+    def seq_logp(dec_rows):
+        """Sum log p of each row under teacher forcing (up to first eos)."""
+        b = dec_rows.shape[0]
+        dec_in = jnp.concatenate(
+            [jnp.zeros((b, 1), jnp.int32), dec_rows[:, :-1]], axis=1
+        )
+        logits = model.apply(variables, ids_j, mask_j, dec_in)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        picked = jnp.take_along_axis(logp, dec_rows[:, :, None], 2)[:, :, 0]
+        # mask after first eos
+        is_eos = dec_rows == cfg.eos_token_id
+        after = jnp.cumsum(jnp.concatenate(
+            [jnp.zeros((b, 1), jnp.int32), is_eos[:, :-1].astype(jnp.int32)],
+            axis=1), axis=1) > 0
+        return jnp.where(after, 0.0, picked).sum(-1)
+
+    g_ids, _ = generate(model, variables, ids_j, mask_j, max_len=8)
+    b_ids, _ = beam_search(model, variables, ids_j, mask_j, num_beams=4,
+                           max_len=8)
+    lp_g = np.asarray(seq_logp(g_ids))
+    lp_b = np.asarray(seq_logp(b_ids))
+    assert (lp_b >= lp_g - 1e-4).all(), (lp_b, lp_g)
+
+
+def test_beam_search_eos_freeze(ours_pegasus):
+    from video_chapter_generation_tpu.models.seq2seq import beam_search
+
+    model, variables, cfg = ours_pegasus
+    ids, mask, _ = _inputs(b=1)
+    out, scores = beam_search(model, variables, jnp.asarray(ids),
+                              jnp.asarray(mask), num_beams=3, max_len=10)
+    row = list(np.asarray(out[0]))
+    if cfg.eos_token_id in row:
+        i = row.index(cfg.eos_token_id)
+        assert all(x == cfg.eos_token_id for x in row[i:])
+    assert np.isfinite(np.asarray(scores)).all()

@@ -727,3 +727,108 @@ def convert_hf_seq2seq(state_dict: Dict[str, Any],
         put(("lm_head", "kernel"), to_np(state_dict["lm_head.weight"]).T)
 
     return {"params": p}
+
+
+def beam_search(
+    model: Seq2Seq,
+    variables,
+    input_ids,
+    attention_mask,
+    num_beams: int = 4,
+    max_len: int = 30,
+    length_penalty: float = 1.0,
+):
+    """Static-shape beam search (an upgrade over the reference's
+    greedy/top-k-only decoding).
+
+    Keeps num_beams live hypotheses per example in a lax.scan: finished
+    beams are frozen (forced EOS continuation at zero added score) and all
+    candidates compete by length-normalized score sum_logp / len^penalty.
+    Returns (ids [B, max_len], scores [B]) for the best beam.
+    """
+    cfg = model.cfg
+    b = input_ids.shape[0]
+    n = num_beams
+
+    def apply(method, *a, **kw):
+        return model.apply(variables, *a, method=method, **kw)
+
+    enc = apply(model.encode, input_ids, attention_mask)  # [B, L, D]
+    # expand to beams: [B*n, ...]
+    enc = jnp.repeat(enc, n, axis=0)
+    mask = jnp.repeat(attention_mask, n, axis=0)
+    cache = apply(model.init_cache, b * n, max_len, enc)
+
+    neg_inf = jnp.asarray(-1e9, jnp.float32)
+    # beam 0 active, others start at -inf so step 1 fans out from beam 0
+    scores = jnp.tile(jnp.asarray([0.0] + [-1e9] * (n - 1)), (b, 1))
+    tokens = jnp.full((b, n, 1), cfg.decoder_start_token_id, jnp.int32)
+    done = jnp.zeros((b, n), bool)
+
+    def gather_beams(tree, beam_idx):
+        """Reorder the [B*n, ...] cache by per-batch beam indices [B, n]."""
+        flat_idx = (
+            jnp.arange(b)[:, None] * n + beam_idx
+        ).reshape(-1)  # [B*n]
+
+        def g(x):
+            return jnp.take(x.reshape(b * n, *x.shape[1:]), flat_idx, axis=0)
+
+        return jax.tree_util.tree_map(g, tree)
+
+    def norm(scores, length):
+        return scores / (length**length_penalty)
+
+    def step(carry, pos):
+        tokens, scores, done, cache = carry
+        last = tokens[:, :, -1].reshape(b * n, 1)
+        logits, cache = apply(
+            model.decode_step, last, pos, cache, enc, mask, max_len=max_len
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        logp = logp.reshape(b, n, -1)
+        v = logp.shape[-1]
+        # finished beams contribute exactly one candidate: forced EOS, no
+        # added score
+        eos_only = jnp.full((b, n, v), neg_inf).at[:, :, cfg.eos_token_id].set(0.0)
+        logp = jnp.where(done[:, :, None], eos_only, logp)
+
+        cand = scores[:, :, None] + logp  # [b, n, v]
+        length = pos + 1
+        cand_norm = norm(cand, length.astype(jnp.float32))
+        top_norm, flat_idx = jax.lax.top_k(cand_norm.reshape(b, n * v), n)
+        beam_idx = flat_idx // v
+        tok = (flat_idx % v).astype(jnp.int32)
+
+        new_scores = jnp.take_along_axis(
+            cand.reshape(b, n * v), flat_idx, axis=1
+        )
+        tokens = jnp.take_along_axis(
+            tokens, beam_idx[:, :, None], axis=1
+        )
+        tokens = jnp.concatenate([tokens, tok[:, :, None]], axis=2)
+        done = jnp.take_along_axis(done, beam_idx, axis=1) | (
+            tok == cfg.eos_token_id
+        )
+        cache = gather_beams(cache, beam_idx)
+        return (tokens, scores * 0 + new_scores, done, cache), None
+
+    # python loop builds a growing tokens array (static shapes per step)
+    carry = (tokens, scores, done, cache)
+    for pos in range(max_len):
+        carry, _ = step(carry, jnp.asarray(pos))
+    tokens, scores, done, _ = carry
+
+    lengths = jnp.argmax(
+        jnp.concatenate(
+            [tokens[:, :, 1:] == cfg.eos_token_id,
+             jnp.ones((b, n, 1), bool)], axis=2
+        ),
+        axis=2,
+    ) + 1  # tokens incl. first EOS
+    final = norm(scores, lengths.astype(jnp.float32))
+    best = jnp.argmax(final, axis=1)
+    out = jnp.take_along_axis(
+        tokens[:, :, 1:], best[:, None, None], axis=1
+    )[:, 0]
+    return out, jnp.take_along_axis(final, best[:, None], 1)[:, 0]
