@@ -155,6 +155,65 @@ def test_train_listwise_cli(disk_corpus, tmp_path):
     )
 
 
+def test_vision_title_cli_chain(disk_corpus, tmp_path, monkeypatch):
+    """extract_vision_emb -> eval_title --vision_emb_dir -> infer_video
+    --vision_emb_dir: the reference's best-ROUGE configuration
+    (convert2vision_emb.py -> test_chapter_title_gen_vision_emb.py ->
+    whole pipeline) end to end on the disk corpus."""
+    from video_chapter_generation_tpu.cli import (
+        eval_title,
+        extract_vision_emb,
+        infer_video,
+    )
+    from video_chapter_generation_tpu.datasetkit.flatten import (
+        main as flatten_main,
+    )
+
+    clips_json = str(tmp_path / "test_clips.json")
+    flatten_main([
+        f'--img_dir={disk_corpus}/frames',
+        f'--data_file={disk_corpus}/all_in_one.csv',
+        f'--vid_file={disk_corpus}/test.txt',
+        f'--out={clips_json}',
+        '--clip_frame_num=16',
+    ])
+    emb_dir = str(tmp_path / "vision_embs")
+    extract_vision_emb.main(
+        _common_overrides(
+            disk_corpus, tmp_path,
+            [f'data.test_clips_json="{clips_json}"',
+             "data.clip_frame_num=16"],
+        )
+        + ["--tiny", "--out_dir", emb_dir]
+    )
+    vid = open(disk_corpus / "test.txt").read().strip()
+    assert os.path.exists(os.path.join(emb_dir, vid, "vision_emb_0_16.npy"))
+    emb = np.load(os.path.join(emb_dir, vid, "vision_emb_0_16.npy"))
+    assert emb.shape == (16, 2048)
+
+    monkeypatch.chdir(tmp_path)
+    eval_title.main(
+        _common_overrides(
+            disk_corpus, tmp_path,
+            ["data.title_input_len=24", "data.title_decode_len=6",
+             "data.batch_size=2"],
+        )
+        + ["--tiny", "--vision_emb_dir", emb_dir]
+    )
+    assert (tmp_path /
+            "test_results/chapter_title_gen/vision_gt_batch_2.txt").exists()
+
+    infer_video.main(
+        _common_overrides(
+            disk_corpus, tmp_path,
+            ['model.kind="text"', "data.clip_frame_num=16",
+             "data.title_input_len=24", "data.title_decode_len=6"],
+        )
+        + ["--tiny", "--vision_emb_dir", emb_dir]
+    )
+    assert (tmp_path / "test_results/whole_pipeline_result.txt").exists()
+
+
 def test_eval_title_cli(disk_corpus, tmp_path, monkeypatch):
     from video_chapter_generation_tpu.cli import eval_title
 

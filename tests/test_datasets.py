@@ -8,8 +8,11 @@ from fixtures import make_corpus, make_unigram, make_wordpiece
 from video_chapter_generation_tpu.data.clip_grid import flatten_video_to_clips
 from video_chapter_generation_tpu.data.datasets import (
     AllChapterTitleDataset,
+    AllChapterTitleVisionEmbDataset,
     ChapterTitleDataset,
     ChapterTitleVisionEmbDataset,
+    npy_vision_emb_provider,
+    vision_emb_block_range,
     ClipDataset,
     ContrastiveSubtitleDataset,
     InferClipDataset,
@@ -143,7 +146,7 @@ def test_all_chapter_title_gt_and_pred(corpus, uni):
 
 
 def test_vision_emb_dataset(corpus, uni):
-    def provider(vid, chapter_start):
+    def provider(vid, chapter_start, chapter_end):
         return [np.ones((16, 32)) * k for k in range(3)]
 
     ds = ChapterTitleVisionEmbDataset(
@@ -154,6 +157,70 @@ def test_vision_emb_dataset(corpus, uni):
     assert item["vision_embs"].shape == (5, 32)
     assert list(item["vision_attention_mask"]) == [1, 1, 1, 0, 0]
     np.testing.assert_allclose(item["vision_embs"][1], 1.0)
+
+
+def test_vision_emb_block_range_golden():
+    """Pin the reference's chapter->block arithmetic
+    (youtube_chapter_title_dataset.py:224-233) on representative cases."""
+    def reference(chapter_start_t, chapter_end_t):
+        emb_start_idx = int(chapter_start_t // 4) * 4
+        emb_end_idx = int(chapter_end_t // 4) * 4 - 16
+        if emb_end_idx < 0:
+            emb_end_idx = emb_start_idx
+        if emb_start_idx > emb_end_idx:
+            emb_start_idx = emb_end_idx
+        return list(range(emb_start_idx, emb_end_idx + 1, 16))
+
+    cases = [(0, 40), (0, 10), (7, 23), (24, 60), (3, 100), (90, 95),
+             (0, 16), (0, 15), (4, 20), (50, 52), (100, 260)]
+    for start, end in cases:
+        assert list(vision_emb_block_range(start, end)) == reference(
+            start, end
+        ), (start, end)
+
+
+def test_npy_vision_emb_provider(tmp_path):
+    d = tmp_path / "vidX"
+    d.mkdir()
+    for st in range(0, 61, 4):
+        np.save(d / f"vision_emb_{st}_{st + 16}.npy",
+                np.full((16, 8), st, np.float32))
+    provider = npy_vision_emb_provider(str(tmp_path))
+    embs = provider("vidX", 24, 60)
+    # last allowed start is (60//4)*4-16 = 44 -> starts 24, 40
+    starts = [int(e[0, 0]) for e in embs]
+    assert starts == [24, 40]
+    # missing final block file is skipped, not an error
+    embs = provider("vidX", 60, 90)  # wants 60..72; only 60 exists
+    assert [int(e[0, 0]) for e in embs] == [60]
+
+
+def test_all_chapter_title_vision_dataset(corpus, uni):
+    def provider(vid, start, end):
+        return [np.full((4, 16), end - start, np.float32)]
+
+    ds = AllChapterTitleVisionEmbDataset(
+        corpus, uni, provider, max_vision_emb=3, emb_dim=16,
+        max_text_len=16, chapter_title_text_len=8,
+    )
+    assert len(ds) == sum(
+        len(corpus.records[v].timestamp_lines) for v in corpus.vids
+    )
+    item = ds.__getitem__(0, epoch=0)
+    assert item["vision_embs"].shape == (3, 16)
+    assert list(item["vision_attention_mask"]) == [1, 0, 0]
+    span = int(item["chapter_end"]) - int(item["chapter_start"])
+    np.testing.assert_allclose(item["vision_embs"][0], float(span))
+
+    # predicted-cut-points mode feeds spans through the same vision path
+    pred_cps = {v: [30, 70] for v in corpus.vids}
+    ds2 = AllChapterTitleVisionEmbDataset(
+        corpus, uni, provider, max_vision_emb=3, emb_dim=16,
+        max_text_len=16, chapter_title_text_len=8, vid2cut_points=pred_cps,
+    )
+    item2 = ds2.__getitem__(0, epoch=0)
+    assert item2["chapter_start"] == 30
+    assert item2["vision_embs"].shape == (3, 16)
 
 
 def test_mlm_mask_stats(wp):

@@ -2,12 +2,18 @@
 KV-cached generation, ROUGE-1/2/L vs GT with lead/random/principal
 baselines, reference-format result file.
 
-Replaces test_chapter_title_gen.py (+_vision_emb): `--location gt` uses GT
-chapters; `--location pred --cut_points vid2cut_points.json` evaluates on
-predicted chapters (the end-to-end setting, :51-95).
+Replaces test_chapter_title_gen.py AND test_chapter_title_gen_vision_emb.py:
+`--location gt` uses GT chapters; `--location pred --cut_points
+vid2cut_points.json` evaluates on predicted chapters (the end-to-end
+setting, test_chapter_title_gen.py:51-95); `--vision_emb_dir DIR` switches
+to the vision-conditioned model (Seq2SeqVisionEmb) fed by the
+extract_vision_emb dump, fusing per-16s-block embeddings into the encoder
+states before the same KV-cached decode
+(test_chapter_title_gen_vision_emb.py:1-298).
 
     python -m video_chapter_generation_tpu.cli.eval_title \
-        data.data_file=... data.test_vid_file=... --spm_tsv pieces.tsv
+        data.data_file=... data.test_vid_file=... --spm_tsv pieces.tsv \
+        [--vision_emb_dir vision_embs] [--fusion_type cross_attn]
 """
 
 from __future__ import annotations
@@ -22,16 +28,26 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from ..data.datasets import AllChapterTitleDataset
+    from ..data.datasets import (
+        AllChapterTitleDataset,
+        AllChapterTitleVisionEmbDataset,
+        npy_vision_emb_provider,
+    )
     from ..data.loader import DataLoader
     from ..evalkit.title_eval import evaluate_titles, write_title_result_file
-    from ..models.seq2seq import Seq2SeqConfig, generate, trim_at_eos
+    from ..models.seq2seq import (
+        Seq2Seq,
+        Seq2SeqConfig,
+        generate,
+        trim_at_eos,
+    )
     from ..train.objectives import seq2seq_title_loss
-    from ..train.tasks import TitleGenTask
+    from ..train.tasks import TitleGenTask, TitleGenVisionTask
     from .common import load_corpus, load_title_tokenizer, parse_config
 
     argv = list(argv if argv is not None else sys.argv[1:])
     location, cut_points_file = "gt", None
+    vision_emb_dir, fusion_type = None, "cross_attn"
     if "--location" in argv:
         i = argv.index("--location")
         location = argv[i + 1]
@@ -39,6 +55,14 @@ def main(argv=None):
     if "--cut_points" in argv:
         i = argv.index("--cut_points")
         cut_points_file = argv[i + 1]
+        del argv[i : i + 2]
+    if "--vision_emb_dir" in argv:
+        i = argv.index("--vision_emb_dir")
+        vision_emb_dir = argv[i + 1]
+        del argv[i : i + 2]
+    if "--fusion_type" in argv:
+        i = argv.index("--fusion_type")
+        fusion_type = argv[i + 1]
         del argv[i : i + 2]
 
     cfg, args = parse_config(argv, "evaluate chapter-title generator")
@@ -53,24 +77,45 @@ def main(argv=None):
             vid: d["second_pred_cut_points"] for vid, d in raw.items()
         }
 
-    ds = AllChapterTitleDataset(
-        corpus, tokenizer, cfg.data.title_input_len,
-        cfg.data.title_decode_len, vid2cut_points=vid2cut_points,
-    )
+    s2s_cfg = (Seq2SeqConfig.tiny(vocab_size=tokenizer.vocab_size)
+               if args.tiny else Seq2SeqConfig.pegasus_large())
+    # even the tiny ResNet variant emits 2048-dim features (64*2^3*4)
+    emb_dim = 2048
+    if vision_emb_dir is not None:
+        ds = AllChapterTitleVisionEmbDataset(
+            corpus, tokenizer, npy_vision_emb_provider(vision_emb_dir),
+            emb_dim=emb_dim,
+            max_text_len=cfg.data.title_input_len,
+            chapter_title_text_len=cfg.data.title_decode_len,
+            vid2cut_points=vid2cut_points,
+        )
+        task = TitleGenVisionTask(cfg, s2s_cfg, fusion_type=fusion_type,
+                                  vision_emb_size=emb_dim)
+    else:
+        ds = AllChapterTitleDataset(
+            corpus, tokenizer, cfg.data.title_input_len,
+            cfg.data.title_decode_len, vid2cut_points=vid2cut_points,
+        )
+        task = TitleGenTask(cfg, s2s_cfg)
     loader = DataLoader(ds, cfg.data.batch_size, shuffle=False,
                         drop_last=False)
 
-    s2s_cfg = (Seq2SeqConfig.tiny(vocab_size=tokenizer.vocab_size)
-               if args.tiny else Seq2SeqConfig.pegasus_large())
-    task = TitleGenTask(cfg, s2s_cfg)
     variables = _restore(cfg, task)
+    inner = Seq2Seq(s2s_cfg)  # decode-side module for the vision wrapper
 
     @jax.jit
     def forward_metrics(v, batch):
-        logits = task.model.apply(
-            v, batch["text_ids"], batch["attention_mask"],
-            batch["input_decode_ids"], batch["decode_attention_mask"],
-        )
+        if vision_emb_dir is not None:
+            logits = task.model.apply(
+                v, batch["vision_embs"], batch["vision_attention_mask"],
+                batch["text_ids"], batch["attention_mask"],
+                batch["input_decode_ids"], batch["decode_attention_mask"],
+            )
+        else:
+            logits = task.model.apply(
+                v, batch["text_ids"], batch["attention_mask"],
+                batch["input_decode_ids"], batch["decode_attention_mask"],
+            )
         _, m = seq2seq_title_loss(
             logits, batch["target_decode_ids"],
             batch["decode_attention_mask"],
@@ -78,9 +123,24 @@ def main(argv=None):
         return m
 
     @jax.jit
-    def gen(v, ids, mask):
-        out, _ = generate(task.model, v, ids, mask,
-                          max_len=cfg.data.title_decode_len)
+    def gen(v, batch):
+        if vision_emb_dir is not None:
+            # fused encode once, then the SAME KV-cached decode loop on the
+            # inner Seq2Seq via enc_hidden_override
+            enc = task.model.apply(
+                v, batch["vision_embs"], batch["vision_attention_mask"],
+                batch["text_ids"], batch["attention_mask"],
+                method=task.model.encode_fused,
+            )
+            out, _ = generate(
+                inner, {"params": v["params"]["seq2seq"]},
+                batch["text_ids"], batch["attention_mask"],
+                max_len=cfg.data.title_decode_len, enc_hidden_override=enc,
+            )
+        else:
+            out, _ = generate(task.model, v, batch["text_ids"],
+                              batch["attention_mask"],
+                              max_len=cfg.data.title_decode_len)
         return out
 
     losses, accs = [], []
@@ -90,7 +150,7 @@ def main(argv=None):
         m = forward_metrics(variables, jb)
         losses.append(float(m["loss"]))
         accs.append(float(m["acc"]))
-        gen_ids = gen(variables, jb["text_ids"], jb["attention_mask"])
+        gen_ids = gen(variables, jb)
         for row, tgt, src, dmask in zip(
             trim_at_eos(gen_ids, s2s_cfg.eos_token_id),
             np.asarray(batch["target_decode_ids"]),
@@ -108,7 +168,11 @@ def main(argv=None):
         test_loss=float(np.mean(losses)), test_acc=float(np.mean(accs)),
         seed=cfg.train.seed,
     )
-    out_file = f"test_results/chapter_title_gen/{location}_batch_{cfg.data.batch_size}.txt"
+    tag = "vision_" if vision_emb_dir is not None else ""
+    out_file = (
+        f"test_results/chapter_title_gen/{tag}{location}_batch_"
+        f"{cfg.data.batch_size}.txt"
+    )
     write_title_result_file(result, out_file)
     print("test_loss", result["test_loss"], "test_acc", result["test_acc"])
     for k in ("generated", "lead", "random", "principal"):

@@ -1,10 +1,14 @@
 """Whole-pipeline per-video inference: boundaries -> cut points -> titles.
 
 Replaces test_whole_pipeline_per_video.py with batched, KV-cached stages.
+`--vision_emb_dir DIR` switches the title stage to the vision-conditioned
+model (Seq2SeqVisionEmb fed by the extract_vision_emb dump; the reference's
+best-ROUGE configuration, test_chapter_title_gen_vision_emb.py +
+pegasus_vision_emb.py:189-206).
 
     python -m video_chapter_generation_tpu.cli.infer_video \
         data.data_file=... data.test_vid_file=... --bert_vocab v.txt \
-        --vids vid1,vid2
+        --vids vid1,vid2 [--vision_emb_dir vision_embs]
 """
 
 from __future__ import annotations
@@ -28,11 +32,19 @@ from .eval_segment import build_score_fn
 def main(argv=None):
     import sys
 
-    vids = None
+    vids, vision_emb_dir, fusion_type = None, None, "cross_attn"
     argv = list(argv if argv is not None else sys.argv[1:])
     if "--vids" in argv:
         i = argv.index("--vids")
         vids = argv[i + 1].split(",")
+        del argv[i : i + 2]
+    if "--vision_emb_dir" in argv:
+        i = argv.index("--vision_emb_dir")
+        vision_emb_dir = argv[i + 1]
+        del argv[i : i + 2]
+    if "--fusion_type" in argv:
+        i = argv.index("--fusion_type")
+        fusion_type = argv[i + 1]
         del argv[i : i + 2]
 
     cfg, args = parse_config(argv, "whole-pipeline per-video inference")
@@ -46,20 +58,48 @@ def main(argv=None):
         Seq2SeqConfig.tiny(vocab_size=title_tokenizer.vocab_size)
         if args.tiny else Seq2SeqConfig.pegasus_large()
     )
-    from ..train.tasks import TitleGenTask
+    from ..models.seq2seq import Seq2Seq
+    from ..train.tasks import TitleGenTask, TitleGenVisionTask
     from .eval_title import _restore
 
-    task = TitleGenTask(cfg, s2s_cfg)
+    emb_dim = 2048
+    if vision_emb_dir is not None:
+        task = TitleGenVisionTask(cfg, s2s_cfg, fusion_type=fusion_type,
+                                  vision_emb_size=emb_dim)
+    else:
+        task = TitleGenTask(cfg, s2s_cfg)
     # restores the best/latest title checkpoint from cfg.train.ckpt_dir
     # when one exists; random weights otherwise (smoke mode)
     variables = _restore(cfg, task)
 
-    def title_fn(text_ids, attention_mask):
-        gen_ids, _ = generate(
-            task.model, variables, jnp.asarray(text_ids),
-            jnp.asarray(attention_mask), max_len=cfg.data.title_decode_len,
-        )
-        return trim_at_eos(gen_ids, s2s_cfg.eos_token_id)
+    if vision_emb_dir is not None:
+        inner = Seq2Seq(s2s_cfg)
+
+        def title_fn(text_ids, attention_mask, vision_embs, vision_mask):
+            ids = jnp.asarray(text_ids)
+            mask = jnp.asarray(attention_mask)
+            # fused encode, then the same KV-cached decode on the inner
+            # Seq2Seq via enc_hidden_override
+            enc = task.model.apply(
+                variables, jnp.asarray(vision_embs),
+                jnp.asarray(vision_mask), ids, mask,
+                method=task.model.encode_fused,
+            )
+            gen_ids, _ = generate(
+                inner, {"params": variables["params"]["seq2seq"]}, ids, mask,
+                max_len=cfg.data.title_decode_len, enc_hidden_override=enc,
+            )
+            return trim_at_eos(gen_ids, s2s_cfg.eos_token_id)
+    else:
+        def title_fn(text_ids, attention_mask):
+            gen_ids, _ = generate(
+                task.model, variables, jnp.asarray(text_ids),
+                jnp.asarray(attention_mask),
+                max_len=cfg.data.title_decode_len,
+            )
+            return trim_at_eos(gen_ids, s2s_cfg.eos_token_id)
+
+    from ..data.datasets import npy_vision_emb_provider
 
     pipe = ChapterPipeline(
         corpus, tokenizer, score_fn, title_fn,
@@ -70,6 +110,9 @@ def main(argv=None):
         batch_size=cfg.data.batch_size,
         score_mode=cfg.model.data_mode,
         title_tokenizer=title_tokenizer,
+        vision_emb_provider=(npy_vision_emb_provider(vision_emb_dir)
+                             if vision_emb_dir is not None else None),
+        vision_emb_dim=emb_dim,
     )
     results = pipe.run(vids)
     import os

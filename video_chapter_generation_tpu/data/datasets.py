@@ -362,6 +362,7 @@ class ChapterTitleDataset:
             "attention_mask": mask,
             **dec,
             "chapter_start": np.int32(start_t),
+            "chapter_end": np.int32(end_t),
         }
 
     def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
@@ -418,28 +419,22 @@ class AllChapterTitleDataset(ChapterTitleDataset):
                                    self.chapter_title_text_len)
         return {
             "text_ids": ids, "attention_mask": mask, **dec,
-            "chapter_start": np.int32(start_t), "item_index": np.int32(i),
+            "chapter_start": np.int32(start_t),
+            "chapter_end": np.int32(end_t), "item_index": np.int32(i),
         }
 
 
-class ChapterTitleVisionEmbDataset(ChapterTitleDataset):
-    """Adds per-16s-block mean-pooled vision embeddings
-    (youtube_chapter_title_dataset.py:222-248): emb_provider(vid, start, end)
-    -> [n_clips, T, 2048] or [n_clips, 2048]; mean-pooled per clip, padded
-    to max_vision_emb with a validity mask."""
+class _VisionEmbMixin:
+    """Shared vision-emb attachment: emb_provider(vid, start, end) ->
+    list of per-block [T, D] (mean-pooled here) or [D] arrays; padded to
+    max_vision_emb with a validity mask
+    (youtube_chapter_title_dataset.py:222-248, :424-450)."""
 
-    def __init__(self, corpus, tokenizer, emb_provider: Callable,
-                 max_vision_emb: int = 10, emb_dim: int = 2048, **kw):
-        super().__init__(corpus, tokenizer, **kw)
-        self.emb_provider = emb_provider
-        self.max_vision_emb = max_vision_emb
-        self.emb_dim = emb_dim
-
-    def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
-        out = super().__getitem__(i, epoch)
-        vid = self.corpus.vids[i]
-        start_t = int(out["chapter_start"])
-        embs = self.emb_provider(vid, start_t)
+    def _attach_vision(self, out: Dict[str, np.ndarray],
+                       vid: str) -> Dict[str, np.ndarray]:
+        embs = self.emb_provider(
+            vid, int(out["chapter_start"]), int(out["chapter_end"])
+        )
         vis = np.zeros((self.max_vision_emb, self.emb_dim), np.float32)
         mask = np.zeros((self.max_vision_emb,), np.int32)
         for k, e in enumerate(embs[: self.max_vision_emb]):
@@ -451,22 +446,71 @@ class ChapterTitleVisionEmbDataset(ChapterTitleDataset):
         return out
 
 
+class ChapterTitleVisionEmbDataset(_VisionEmbMixin, ChapterTitleDataset):
+    """Random-chapter title dataset + per-16s-block vision embeddings
+    (youtube_chapter_title_dataset.py:162-290)."""
+
+    def __init__(self, corpus, tokenizer, emb_provider: Callable,
+                 max_vision_emb: int = 10, emb_dim: int = 2048, **kw):
+        super().__init__(corpus, tokenizer, **kw)
+        self.emb_provider = emb_provider
+        self.max_vision_emb = max_vision_emb
+        self.emb_dim = emb_dim
+
+    def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        out = super().__getitem__(i, epoch)
+        return self._attach_vision(out, self.corpus.vids[i])
+
+
+class AllChapterTitleVisionEmbDataset(_VisionEmbMixin, AllChapterTitleDataset):
+    """ALL chapters (GT or predicted cut points) + vision embeddings — the
+    eval dataset of test_chapter_title_gen_vision_emb.py
+    (youtube_chapter_title_dataset.py:330-517 with vision_emb_dir set)."""
+
+    def __init__(self, corpus, tokenizer, emb_provider: Callable,
+                 max_vision_emb: int = 10, emb_dim: int = 2048, **kw):
+        super().__init__(corpus, tokenizer, **kw)
+        self.emb_provider = emb_provider
+        self.max_vision_emb = max_vision_emb
+        self.emb_dim = emb_dim
+
+    def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        out = super().__getitem__(i, epoch)
+        return self._attach_vision(out, self.items[i][0])
+
+
+def vision_emb_block_range(chapter_start: int, chapter_end: int,
+                           block_sec: int = 16) -> range:
+    """The reference's chapter -> 16s-block selection
+    (youtube_chapter_title_dataset.py:224-233): quantize the chapter span
+    to the 4s clip grid, last block must END inside the span, and a
+    too-short chapter degenerates to one block at the (clamped) start."""
+    start = (int(chapter_start) // 4) * 4
+    end = (int(chapter_end) // 4) * 4 - block_sec
+    if end < 0:
+        end = start
+    if start > end:
+        start = end
+    return range(start, end + 1, block_sec)
+
+
 def npy_vision_emb_provider(emb_dir: str, block_sec: int = 16) -> Callable:
-    """Serve the convert2vision_emb.py on-disk layout:
-    <emb_dir>/<vid>/vision_emb_<start>_<end>.npy per clip."""
-    import glob as _glob
+    """Serve the convert2vision_emb.py on-disk layout
+    (<emb_dir>/<vid>/vision_emb_<start>_<end>.npy per clip) with the
+    reference's chapter->block selection. Missing block files are skipped
+    (the clip grid `range(0, image_num - N, 4)` can lack the final block
+    for some durations; the reference would crash there)."""
     import os as _os
 
-    def provider(vid: str, chapter_start: int):
-        files = sorted(
-            _glob.glob(_os.path.join(emb_dir, vid, "vision_emb_*.npy")),
-            key=lambda p: int(p.rsplit("_", 2)[1]),
-        )
+    def provider(vid: str, chapter_start: int, chapter_end: int):
         out = []
-        for f in files:
-            start = int(f.rsplit("_", 2)[1])
-            if start >= chapter_start:
-                out.append(np.load(f))
+        for st in vision_emb_block_range(chapter_start, chapter_end,
+                                         block_sec):
+            path = _os.path.join(
+                emb_dir, vid, f"vision_emb_{st}_{st + block_sec}.npy"
+            )
+            if _os.path.exists(path):
+                out.append(np.load(path))
         return out
 
     return provider

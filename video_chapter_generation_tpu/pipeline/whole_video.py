@@ -42,13 +42,20 @@ class ChapterPipeline:
                  clip_frame_num: int = 16, max_text_len: int = 100,
                  title_input_len: int = 512, batch_size: int = 16,
                  score_mode: str = "text", fps: int = 1,
-                 hw: int = 224, title_tokenizer=None):
+                 hw: int = 224, title_tokenizer=None,
+                 vision_emb_provider: Optional[Callable] = None,
+                 max_vision_emb: int = 10, vision_emb_dim: int = 2048):
         self.corpus = corpus
         self.tokenizer = tokenizer  # boundary (BERT) tokenizer
         self.title_tokenizer = title_tokenizer or tokenizer
         self.score_fn = score_fn
         self.title_fn = title_fn
         self.decode_fn = decode_fn
+        # vision-conditioned titles: provider(vid, start, end) -> embs; when
+        # set, title_fn also receives (vision_embs, vision_attention_mask)
+        self.vision_emb_provider = vision_emb_provider
+        self.max_vision_emb = max_vision_emb
+        self.vision_emb_dim = vision_emb_dim
         self.clip_frame_num = clip_frame_num
         self.max_text_len = max_text_len
         self.title_input_len = title_input_len
@@ -81,15 +88,30 @@ class ChapterPipeline:
         if not spans:
             return []
         subs = self.corpus.subtitles(vid)
-        ids_rows, mask_rows = [], []
+        ids_rows, mask_rows, vis_rows, vmask_rows = [], [], [], []
         for start_t, end_t in spans:
             text = _chapter_text(subs, start_t, end_t, self.fps)
             ids, mask = encode_encoder_text(text, self.title_tokenizer,
                                             self.title_input_len)
             ids_rows.append(ids)
             mask_rows.append(mask)
+            if self.vision_emb_provider is not None:
+                embs = self.vision_emb_provider(vid, int(start_t), int(end_t))
+                vis = np.zeros((self.max_vision_emb, self.vision_emb_dim),
+                               np.float32)
+                vmask = np.zeros((self.max_vision_emb,), np.int32)
+                for k, e in enumerate(embs[: self.max_vision_emb]):
+                    e = np.asarray(e)
+                    vis[k] = e.mean(axis=0) if e.ndim == 2 else e
+                    vmask[k] = 1
+                vis_rows.append(vis)
+                vmask_rows.append(vmask)
         self.timer.start("title_generate")
-        gen_rows = self.title_fn(np.stack(ids_rows), np.stack(mask_rows))
+        if self.vision_emb_provider is not None:
+            gen_rows = self.title_fn(np.stack(ids_rows), np.stack(mask_rows),
+                                     np.stack(vis_rows), np.stack(vmask_rows))
+        else:
+            gen_rows = self.title_fn(np.stack(ids_rows), np.stack(mask_rows))
         self.timer.stop("title_generate", len(spans))
         return [self.decode_fn(row) for row in gen_rows]
 
