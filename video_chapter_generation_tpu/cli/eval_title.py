@@ -13,11 +13,13 @@ states before the same KV-cached decode
 
     python -m video_chapter_generation_tpu.cli.eval_title \
         data.data_file=... data.test_vid_file=... --spm_tsv pieces.tsv \
-        [--vision_emb_dir vision_embs] [--fusion_type cross_attn]
+        [--vision_emb_dir vision_embs] [--fusion_type cross_attn] \
+        [--num_beams 4]
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 
@@ -38,6 +40,7 @@ def main(argv=None):
     from ..models.seq2seq import (
         Seq2Seq,
         Seq2SeqConfig,
+        beam_search,
         generate,
         trim_at_eos,
     )
@@ -63,6 +66,11 @@ def main(argv=None):
     if "--fusion_type" in argv:
         i = argv.index("--fusion_type")
         fusion_type = argv[i + 1]
+        del argv[i : i + 2]
+    num_beams = 1
+    if "--num_beams" in argv:
+        i = argv.index("--num_beams")
+        num_beams = int(argv[i + 1])
         del argv[i : i + 2]
 
     cfg, args = parse_config(argv, "evaluate chapter-title generator")
@@ -124,6 +132,10 @@ def main(argv=None):
 
     @jax.jit
     def gen(v, batch):
+        decode = (
+            functools.partial(beam_search, num_beams=num_beams)
+            if num_beams > 1 else generate
+        )
         if vision_emb_dir is not None:
             # fused encode once, then the SAME KV-cached decode loop on the
             # inner Seq2Seq via enc_hidden_override
@@ -132,15 +144,15 @@ def main(argv=None):
                 batch["text_ids"], batch["attention_mask"],
                 method=task.model.encode_fused,
             )
-            out, _ = generate(
+            out, _ = decode(
                 inner, {"params": v["params"]["seq2seq"]},
                 batch["text_ids"], batch["attention_mask"],
                 max_len=cfg.data.title_decode_len, enc_hidden_override=enc,
             )
         else:
-            out, _ = generate(task.model, v, batch["text_ids"],
-                              batch["attention_mask"],
-                              max_len=cfg.data.title_decode_len)
+            out, _ = decode(task.model, v, batch["text_ids"],
+                            batch["attention_mask"],
+                            max_len=cfg.data.title_decode_len)
         return out
 
     losses, accs = [], []

@@ -18,7 +18,14 @@ import json
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.seq2seq import Seq2SeqConfig, generate, trim_at_eos
+import functools
+
+from ..models.seq2seq import (
+    Seq2SeqConfig,
+    beam_search,
+    generate,
+    trim_at_eos,
+)
 from ..pipeline import ChapterPipeline
 from .common import (
     load_bert_tokenizer,
@@ -46,6 +53,11 @@ def main(argv=None):
         i = argv.index("--fusion_type")
         fusion_type = argv[i + 1]
         del argv[i : i + 2]
+    num_beams = 1
+    if "--num_beams" in argv:
+        i = argv.index("--num_beams")
+        num_beams = int(argv[i + 1])
+        del argv[i : i + 2]
 
     cfg, args = parse_config(argv, "whole-pipeline per-video inference")
     corpus = load_corpus(cfg, "test")
@@ -72,6 +84,9 @@ def main(argv=None):
     # when one exists; random weights otherwise (smoke mode)
     variables = _restore(cfg, task)
 
+    decode = (functools.partial(beam_search, num_beams=num_beams)
+              if num_beams > 1 else generate)
+
     if vision_emb_dir is not None:
         inner = Seq2Seq(s2s_cfg)
 
@@ -85,14 +100,14 @@ def main(argv=None):
                 jnp.asarray(vision_mask), ids, mask,
                 method=task.model.encode_fused,
             )
-            gen_ids, _ = generate(
+            gen_ids, _ = decode(
                 inner, {"params": variables["params"]["seq2seq"]}, ids, mask,
                 max_len=cfg.data.title_decode_len, enc_hidden_override=enc,
             )
             return trim_at_eos(gen_ids, s2s_cfg.eos_token_id)
     else:
         def title_fn(text_ids, attention_mask):
-            gen_ids, _ = generate(
+            gen_ids, _ = decode(
                 task.model, variables, jnp.asarray(text_ids),
                 jnp.asarray(attention_mask),
                 max_len=cfg.data.title_decode_len,

@@ -9,11 +9,14 @@ Exact port of the metrics pipeline in test_video_segment_point.py:228-391:
 - mean over videos; F1 from MEAN precision/recall (reference convention)
 - writes the reference's result txt format and vid2cut_points.json
 
-Quirk reproduced: the reference's loop double-counts each video's first
-clip (appends at reinit AND in the common path, :287-295) — we do NOT
-reproduce that off-by-one since it perturbs AUC only marginally and is
-plainly a bug; parity tests therefore compare against the corrected
-accumulation.
+Quirk: the reference's loop double-counts each video's first clip (appends
+at reinit AND in the common path, :287-295). The default here is the
+CORRECTED accumulation (the double-count is plainly a bug — it also shifts
+every cut point by one clip-grid slot since label index maps to seconds);
+pass compat_first_clip_double_count=True to reproduce the reference
+bit-for-bit when comparing against its published numbers (mAP 0.3789 in
+test_results/head_mlp_batch_16_.txt). tests/test_pipeline_eval.py
+quantifies the delta on synthetic data.
 """
 
 from __future__ import annotations
@@ -41,11 +44,19 @@ def evaluate_segment_predictions(
     clip_frame_num: int,
     max_offset: int = 2,
     rng: Optional[np.random.Generator] = None,
+    compat_first_clip_double_count: bool = False,
 ) -> Dict:
     """clips must carry pred_score and pred_label. Returns the full metric
-    dict + vid2cut_points mapping."""
+    dict + vid2cut_points mapping.
+
+    compat_first_clip_double_count reproduces the reference's accumulation
+    bug (each video's first clip counted twice,
+    test_video_segment_point.py:287-295) for bit-parity with its published
+    result files."""
     rng = rng or np.random.default_rng(123)
     per_video = group_clips_by_video(clips)
+    if compat_first_clip_double_count:
+        per_video = {vid: [v[0]] + v for vid, v in per_video.items()}
 
     auc_list, map_list = [], []
     acc: Dict[str, List[float]] = {k: [] for k in (

@@ -737,13 +737,16 @@ def beam_search(
     num_beams: int = 4,
     max_len: int = 30,
     length_penalty: float = 1.0,
+    enc_hidden_override=None,
 ):
-    """Static-shape beam search (an upgrade over the reference's
-    greedy/top-k-only decoding).
+    """Static-shape, fully jittable beam search (an upgrade over the
+    reference's greedy/top-k-only decoding).
 
-    Keeps num_beams live hypotheses per example in a lax.scan: finished
-    beams are frozen (forced EOS continuation at zero added score) and all
-    candidates compete by length-normalized score sum_logp / len^penalty.
+    Keeps num_beams live hypotheses per example in a lax.scan over a static
+    [B, n, max_len+1] token buffer (one compiled program, no per-step
+    retraces/dispatches): finished beams are frozen (forced EOS
+    continuation at zero added score) and all candidates compete by
+    length-normalized score sum_logp / len^penalty.
     Returns (ids [B, max_len], scores [B]) for the best beam.
     """
     cfg = model.cfg
@@ -753,7 +756,11 @@ def beam_search(
     def apply(method, *a, **kw):
         return model.apply(variables, *a, method=method, **kw)
 
-    enc = apply(model.encode, input_ids, attention_mask)  # [B, L, D]
+    enc = (
+        enc_hidden_override
+        if enc_hidden_override is not None
+        else apply(model.encode, input_ids, attention_mask)
+    )  # [B, L, D]
     # expand to beams: [B*n, ...]
     enc = jnp.repeat(enc, n, axis=0)
     mask = jnp.repeat(attention_mask, n, axis=0)
@@ -762,7 +769,9 @@ def beam_search(
     neg_inf = jnp.asarray(-1e9, jnp.float32)
     # beam 0 active, others start at -inf so step 1 fans out from beam 0
     scores = jnp.tile(jnp.asarray([0.0] + [-1e9] * (n - 1)), (b, 1))
-    tokens = jnp.full((b, n, 1), cfg.decoder_start_token_id, jnp.int32)
+    # static token buffer: slot 0 = start token, slot p+1 written at step p
+    tokens = jnp.full((b, n, max_len + 1), cfg.eos_token_id, jnp.int32)
+    tokens = tokens.at[:, :, 0].set(cfg.decoder_start_token_id)
     done = jnp.zeros((b, n), bool)
 
     def gather_beams(tree, beam_idx):
@@ -781,7 +790,9 @@ def beam_search(
 
     def step(carry, pos):
         tokens, scores, done, cache = carry
-        last = tokens[:, :, -1].reshape(b * n, 1)
+        last = jax.lax.dynamic_index_in_dim(
+            tokens, pos, axis=2, keepdims=False
+        ).reshape(b * n, 1)
         logits, cache = apply(
             model.decode_step, last, pos, cache, enc, mask, max_len=max_len
         )
@@ -806,18 +817,18 @@ def beam_search(
         tokens = jnp.take_along_axis(
             tokens, beam_idx[:, :, None], axis=1
         )
-        tokens = jnp.concatenate([tokens, tok[:, :, None]], axis=2)
+        tokens = jax.lax.dynamic_update_index_in_dim(
+            tokens, tok[:, :, None], pos + 1, axis=2
+        )
         done = jnp.take_along_axis(done, beam_idx, axis=1) | (
             tok == cfg.eos_token_id
         )
         cache = gather_beams(cache, beam_idx)
-        return (tokens, scores * 0 + new_scores, done, cache), None
+        return (tokens, new_scores, done, cache), None
 
-    # python loop builds a growing tokens array (static shapes per step)
-    carry = (tokens, scores, done, cache)
-    for pos in range(max_len):
-        carry, _ = step(carry, jnp.asarray(pos))
-    tokens, scores, done, _ = carry
+    (tokens, scores, done, _), _ = jax.lax.scan(
+        step, (tokens, scores, done, cache), jnp.arange(max_len)
+    )
 
     lengths = jnp.argmax(
         jnp.concatenate(
