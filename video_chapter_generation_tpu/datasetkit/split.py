@@ -53,6 +53,25 @@ if __name__ == "__main__":
     main()
 
 
+def split_easy_hard_from_labels(label_csv: str):
+    """split_easy_hard_dataset.py: bucket vids by human annotation. The
+    second annotator's label overrides the first when present; labels:
+    2=easy, 1=hard, 0=ambiguous, -1=wrong data. Returns
+    (easy, hard, ambiguous, wrong) vid lists."""
+    import math
+
+    import pandas as pd
+
+    data = pd.read_csv(label_csv)
+    buckets = {2: [], 1: [], 0: [], -1: []}
+    for vid, r1, r2 in zip(data["object id"], data["1_label_result"],
+                           data["2_label_result"]):
+        label = r1 if (isinstance(r2, float) and math.isnan(r2)) else r2
+        if int(label) in buckets:
+            buckets[int(label)].append(vid)
+    return buckets[2], buckets[1], buckets[0], buckets[-1]
+
+
 def intersect_split(test_vids: List[str], easy_vids: List[str],
                     hard_vids: List[str]):
     """split_easy_hard_testing_vids.py: intersect the test list with
