@@ -296,3 +296,30 @@ def test_all_clip_dataset(corpus, wp):
     assert (item["clip_labels"][n:] == -1).all()
     assert 0 <= int(item["target_clip_idx"]) < n
     assert item["label"] == item["clip_labels"][int(item["target_clip_idx"])]
+
+
+def test_glove_subtitle_dataset(corpus):
+    from video_chapter_generation_tpu.data.datasets import (
+        GloveSubtitleDataset,
+    )
+
+    vocab = sorted({s["text"] for v in corpus.vids
+                    for s in corpus.subtitles(v)})
+    table = {w: np.full(8, i + 1.0, np.float32)
+             for i, w in enumerate(vocab)}
+    ds = GloveSubtitleDataset(corpus, table, vocab, clip_frame_num=16,
+                              max_text_len=12, emb_dim=8)
+    item = ds.__getitem__(0, epoch=0)
+    assert item["embeddings"].shape == (12, 8)
+    assert item["targets"].shape == (12,)
+    real = item["targets"] != Y_PAD
+    assert real.sum() > 0
+    # next-token alignment: input embedding at position k is the embedding
+    # of the token whose id is the TARGET at position k-1
+    ids = item["targets"][real]
+    for k in range(1, int(real.sum())):
+        expected = table[vocab[ids[k - 1]]]
+        np.testing.assert_allclose(item["embeddings"][k], expected)
+    # determinism
+    item2 = ds.__getitem__(0, epoch=0)
+    np.testing.assert_array_equal(item["targets"], item2["targets"])

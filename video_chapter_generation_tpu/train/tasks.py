@@ -223,6 +223,39 @@ class LangPretrainTask(_TaskBase):
         return loss, (metrics, batch_stats)
 
 
+class GptGlovePretrainTask(_TaskBase):
+    """From-scratch GPT next-token pretraining on GloVe word embeddings
+    (train_lang/pretrain_lang_model.py + model/lang/gpt.py:109-117):
+    inputs are [B, L, 300] embedding rows, targets are vocab ids."""
+
+    def __init__(self, cfg: Config, vocab_size: int, tiny: bool = False,
+                 emb_dim: int = 300):
+        import dataclasses
+
+        from ..models.gpt import GPT, GPTConfig
+
+        self.cfg = cfg
+        gc = GPTConfig(
+            vocab_size=vocab_size, block_size=cfg.data.max_text_len,
+            n_layer=2 if tiny else 12, n_head=2 if tiny else 12,
+            n_embd=emb_dim, using_pretrained_embed=True,
+        )
+        self.emb_dim = emb_dim
+        self.model = GPT(gc)
+
+    def init_variables(self):
+        x = jnp.zeros((1, self.cfg.data.max_text_len, self.emb_dim))
+        return self.model.init(jax.random.PRNGKey(self.cfg.train.seed), x)
+
+    def loss_fn(self, params, batch_stats, batch, rng):
+        logits = self.model.apply(
+            {"params": params}, batch["embeddings"],
+            deterministic=False, rngs={"dropout": rng},
+        )
+        loss, metrics = masked_token_loss(logits, batch["targets"])
+        return loss, (metrics, batch_stats)
+
+
 class TitleGenTask(_TaskBase):
     """Seq2seq chapter-title finetuning (Pegasus recipe)."""
 
