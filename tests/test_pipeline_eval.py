@@ -129,6 +129,15 @@ def test_whole_pipeline(corpus, wp, uni, tmp_path):
     full = pipe.run()
     assert set(full.keys()) == set(corpus.vids)
 
+    # pipelined mode (two-in-flight producer thread) must produce the
+    # exact same results as the sequential path
+    piped = pipe.run(pipelined=True)
+    assert set(piped.keys()) == set(corpus.vids)
+    for v in corpus.vids:
+        assert piped[v].cut_points == full[v].cut_points
+        assert piped[v].titles == full[v].titles
+        assert piped[v].spans == full[v].spans
+
 
 def test_title_eval_baselines():
     src = ["alpha beta gamma delta " * 6, "one two three four five " * 4]

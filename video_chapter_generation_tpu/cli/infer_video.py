@@ -8,7 +8,8 @@ pegasus_vision_emb.py:189-206).
 
     python -m video_chapter_generation_tpu.cli.infer_video \
         data.data_file=... data.test_vid_file=... --bert_vocab v.txt \
-        --vids vid1,vid2 [--vision_emb_dir vision_embs]
+        --vids vid1,vid2 [--vision_emb_dir vision_embs] [--num_beams 4] \
+        [--pipelined]
 """
 
 from __future__ import annotations
@@ -58,6 +59,9 @@ def main(argv=None):
         i = argv.index("--num_beams")
         num_beams = int(argv[i + 1])
         del argv[i : i + 2]
+    pipelined = "--pipelined" in argv
+    if pipelined:
+        argv.remove("--pipelined")
 
     cfg, args = parse_config(argv, "whole-pipeline per-video inference")
     corpus = load_corpus(cfg, "test")
@@ -129,7 +133,7 @@ def main(argv=None):
                              if vision_emb_dir is not None else None),
         vision_emb_dim=emb_dim,
     )
-    results = pipe.run(vids)
+    results = pipe.run(vids, pipelined=pipelined)
     import os
 
     os.makedirs("test_results", exist_ok=True)

@@ -130,11 +130,95 @@ class ChapterPipeline:
             clip_scores=[c.pred_score for c in clips],
         )
 
-    def run(self, vids: Optional[Sequence[str]] = None) -> Dict[str, VideoChapters]:
+    def run(self, vids: Optional[Sequence[str]] = None,
+            pipelined: bool = False,
+            lookahead: int = 2) -> Dict[str, VideoChapters]:
         vids = list(vids or self.corpus.vids)
+        if pipelined:
+            return self.run_pipelined(vids, lookahead)
         out = {}
         for vid in vids:
             out[vid] = self.run_video(vid)
+        return out
+
+    # -- pipelined mode -----------------------------------------------------
+    def _prepare(self, vid: str):
+        """Host-side stage: clip flattening, JPEG decode, tokenization —
+        ALL score batches of one video prebuilt, so a producer thread can
+        overlap the next video's host work with this video's device
+        compute (two-in-flight, the north-star host->TPU overlap)."""
+        from ..data.loader import collate
+
+        clips = flatten_video_to_clips(
+            vid, self.corpus.img_dir, self.corpus.image_num(vid),
+            self.corpus.raw_cut_secs(vid), self.corpus.subtitles(vid),
+            self.clip_frame_num, fps=self.fps,
+        )
+        ds = InferClipDataset(clips, self.tokenizer, self.max_text_len,
+                              mode=self.score_mode, hw=self.hw)
+        n = len(ds)
+        batches = []
+        for start in range(0, n, self.batch_size):
+            rows = list(range(start, min(start + self.batch_size, n)))
+            items = [ds.__getitem__(i) for i in rows]
+            pad = self.batch_size - len(rows)
+            if pad:  # static shapes: repeat the last row, drop its scores
+                items += [items[-1]] * pad
+            batches.append((rows, collate(items)))
+        return vid, ds, batches
+
+    def _finish_video(self, vid: str, ds, batches) -> VideoChapters:
+        """Device stages: boundary scoring over prebuilt batches, cut
+        points, title generation."""
+        infos = ds.all_clip_infos
+        self.timer.start("device_score")
+        for rows, batch in batches:
+            scores = np.asarray(self.score_fn(batch))
+            for j, i in enumerate(rows):
+                infos[i].pred_score = float(scores[j])
+                infos[i].pred_label = int(scores[j] >= 0.5)
+        self.timer.stop("device_score", len(infos))
+        cut_points = convert_clip_label2cut_point(
+            [c.pred_label for c in infos], self.clip_frame_num,
+            2 * self.fps,
+        )
+        titles = self.generate_titles(vid, cut_points)
+        duration = round(self.corpus.records[vid].duration - 1)
+        return VideoChapters(
+            vid=vid, cut_points=list(cut_points),
+            spans=chapter_spans(list(cut_points), duration), titles=titles,
+            clip_scores=[c.pred_score for c in infos],
+        )
+
+    def run_pipelined(self, vids: Sequence[str],
+                      lookahead: int = 2) -> Dict[str, VideoChapters]:
+        """Two-in-flight videos: a producer thread prepares video N+1's
+        batches (decode + tokenize) while the device scores/decodes video
+        N (builder of the reference's test_whole_pipeline_per_video.py
+        flow, host/device overlapped)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=lookahead)
+        stop = object()
+
+        def producer():
+            try:
+                for vid in vids:
+                    q.put(self._prepare(vid))
+            finally:
+                q.put(stop)
+
+        threading.Thread(target=producer, daemon=True).start()
+        out: Dict[str, VideoChapters] = {}
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            vid, ds, batches = item
+            self.timer.start("video_total")
+            out[vid] = self._finish_video(vid, ds, batches)
+            self.timer.stop("video_total", 1)
         return out
 
     def videos_per_minute(self) -> float:
