@@ -102,3 +102,21 @@ def test_lang_saliency_and_ig():
     ig = integrated_gradients_lang(model, v, ids, mask, steps=4)
     assert ig.shape == (2, 10)
     np.testing.assert_allclose(np.asarray(ig.sum(-1)), 1.0, rtol=1e-4)
+
+
+def test_chapter_frame_strip():
+    from video_chapter_generation_tpu.visualization.frames import (
+        chapter_frame_strip,
+    )
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (23, 8, 8, 3), dtype=np.uint8)
+    img = chapter_frame_strip(frames, [5, 15], row_image_num=10,
+                              tolerance=3, pred_timestamps=[6])
+    # 23 frames pad to 30 -> 3 rows of 10
+    assert img.size == (10 * 8, 3 * 8)
+    arr = np.asarray(img)
+    # red/green marker bars present at cut-interval edges
+    assert (arr == [255, 0, 0]).all(axis=-1).any()
+    assert (arr == [0, 255, 0]).all(axis=-1).any()
+    assert (arr == [0, 128, 255]).all(axis=-1).any()

@@ -9,73 +9,10 @@ auxiliary binary CE.
 from __future__ import annotations
 
 import time
-from typing import Dict
 
 import numpy as np
 
-from ..core.seeding import host_rng
-from ..data.clip_grid import subtitle_text_for_window
-from ..data.datasets import _video_clip_structure
-from ..data.text_encode import encode_clip_text
-
-
-class ListwiseSlateDataset:
-    """2 positives + k negatives per video (YoutubeListwiseClipDataset,
-    youtube_dataset.py:1195-1388): slot 0 = a positive clip; contrast slots
-    = 1 positive + k negatives; relevance one-hot on the contrast positive."""
-
-    def __init__(self, corpus, tokenizer, clip_frame_num=16, max_text_len=100,
-                 num_negatives=4, seed=123, fps=1):
-        self.corpus = corpus
-        self.tokenizer = tokenizer
-        self.clip_frame_num = clip_frame_num
-        self.max_text_len = max_text_len
-        self.num_negatives = num_negatives
-        self.seed = seed
-        self.fps = fps
-
-    def __len__(self):
-        return len(self.corpus.vids)
-
-    def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
-        rng = host_rng(self.seed, epoch, i)
-        vid = self.corpus.vids[i]
-        image_num, _, clips, labels = _video_clip_structure(
-            self.corpus, vid, self.clip_frame_num, self.fps, "infer"
-        )
-        pos = np.flatnonzero(labels == 1)
-        neg = np.flatnonzero(labels == 0)
-        slate_len = 2 + self.num_negatives
-        subs = self.corpus.subtitles(vid)
-
-        if len(pos) == 0:  # degenerate video: all-negative slate
-            chosen = list(rng.choice(neg, size=slate_len, replace=True))
-            relevance = np.zeros(slate_len, np.float32)
-        else:
-            p = rng.choice(pos, size=2, replace=len(pos) < 2)
-            n = rng.choice(neg, size=self.num_negatives,
-                           replace=len(neg) < self.num_negatives)
-            contrast = list(n) + [int(p[1])]
-            rng.shuffle(contrast)
-            chosen = [int(p[0])] + contrast
-            relevance = np.zeros(slate_len, np.float32)
-            relevance[1 + contrast.index(int(p[1]))] = 1.0
-
-        ids = np.zeros((slate_len, self.max_text_len), np.int32)
-        masks = np.zeros_like(ids)
-        slate_labels = np.zeros(slate_len, np.int32)
-        for k, ci in enumerate(chosen):
-            text = subtitle_text_for_window(
-                subs, clips[ci][0], clips[ci][1], 1 * self.fps, fps=self.fps
-            )
-            ids[k], masks[k] = encode_clip_text(
-                text, self.tokenizer, self.max_text_len
-            )
-            slate_labels[k] = labels[ci]
-        return {
-            "text_ids": ids, "attention_mask": masks,
-            "relevance": relevance, "slate_labels": slate_labels,
-        }
+from ..data.datasets import ListwiseSlateDataset  # noqa: F401 (re-export)
 
 
 def main(argv=None):
