@@ -30,10 +30,13 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        B, T, HW, ITERS = 16, 16, 224, 10
+        B, T, HW, ITERS = 32, 16, 224, 10
     else:  # smoke mode off-TPU
         B, T, HW, ITERS = 1, 4, 64, 2
 
+    # tsm_impl="auto" (default) = the round-2 sweep's best inference mix:
+    # whole-bottleneck fused kernels where activations dominate traffic
+    # (layers 1-2), the per-conv1 pallas kernel elsewhere (PERF.md)
     model = ResNet(depth=50, n_segment=T, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     stack = jnp.asarray(

@@ -1,0 +1,118 @@
+"""Training-throughput benchmark: flagship TwoStreamWindow train step.
+
+Measures the full training step (BERT-base + ResNet50-TSM + window
+attention forward, cross-entropy, backward, AdamW update, BatchNorm stat
+update) on one TPU chip — the number the reference never publishes
+(SURVEY §6). Prints ONE JSON line: steps/s and frames/s.
+
+Methodology: the measured region is an on-device lax.fori_loop chaining
+ITERS train steps (the state threads through; inputs alternate between two
+real batches), and completion is forced by fetching the final loss —
+block_until_ready is a no-op through the tunneled runtime (PERF.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from video_chapter_generation_tpu.core.config import Config
+    from video_chapter_generation_tpu.ops.preprocess import normalize_frames
+    from video_chapter_generation_tpu.train.loop import create_train_state
+    from video_chapter_generation_tpu.train.objectives import (
+        clip_classification_loss,
+    )
+    from video_chapter_generation_tpu.train.optim import make_optimizer
+    from video_chapter_generation_tpu.train.tasks import SegmentWindowTask
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        B, ITERS, tiny, hw = 4, 4, False, 224
+    else:  # smoke mode off-TPU
+        B, ITERS, tiny, hw = 1, 2, True, 32
+
+    cfg = Config()
+    if tiny:
+        cfg = cfg.apply_overrides(
+            ["data.clip_frame_num=4", "data.max_text_len=16"]
+        )
+    task = SegmentWindowTask(cfg, tiny=tiny, hw=hw)
+    W = 2 * cfg.data.window_size + 1
+    seg = cfg.data.clip_frame_num
+    L = cfg.data.max_text_len
+
+    variables = jax.jit(task.init_variables)()
+    tx = make_optimizer(cfg.optim, variables["params"])
+    state = create_train_state(variables, tx)
+
+    rng = np.random.default_rng(0)
+    batches = {
+        "img_clips": jnp.asarray(rng.integers(
+            0, 256, (2, B, W, seg, hw, hw, 3), dtype=np.uint8)),
+        "text_ids": jnp.asarray(rng.integers(
+            0, 1000, (2, B, W, L), dtype=np.int64).astype(np.int32)),
+        "label": jnp.asarray(rng.integers(0, 2, (2, B), dtype=np.int64)
+                             .astype(np.int32)),
+    }
+
+    def loss_fn(params, batch_stats, batch, key):
+        img = normalize_frames(batch["img_clips"])
+        (logits, _), mutated = task.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            img, batch["text_ids"], jnp.ones_like(batch["text_ids"]),
+            deterministic=False, train=True,
+            rngs={"dropout": key}, mutable=["batch_stats"],
+        )
+        loss, metrics = clip_classification_loss(logits, batch["label"])
+        return loss, (metrics, mutated["batch_stats"])
+
+    @jax.jit
+    def run(state, batches, key):
+        def body(k, carry):
+            state, acc = carry
+            batch = {name: jax.lax.dynamic_index_in_dim(v, k % 2, 0, False)
+                     for name, v in batches.items()}
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (_, bs)), grads = grad_fn(
+                state.params, state.batch_stats, batch,
+                jax.random.fold_in(key, k),
+            )
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=bs, opt_state=opt_state)
+            return state, acc + loss
+        state, acc = jax.lax.fori_loop(0, ITERS, body,
+                                       (state, jnp.float32(0)))
+        return state, acc
+
+    key = jax.random.PRNGKey(0)
+    state, acc = run(state, batches, key)
+    float(acc)  # compile + warm (fetch forces execution)
+
+    t0 = time.perf_counter()
+    state, acc = run(state, batches, key)
+    final_loss = float(acc) / ITERS
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = ITERS / dt
+    frames_per_sec = B * W * seg * ITERS / dt
+    print(json.dumps({
+        "metric": "train_step_throughput",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/sec/chip",
+        "frames_per_sec": round(frames_per_sec, 1),
+        "batch": B, "window": W, "segment": seg,
+        "loss": round(final_loss, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

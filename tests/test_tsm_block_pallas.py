@@ -1,0 +1,101 @@
+"""Whole-bottleneck fused kernel (ops/tsm_block_pallas.py) vs the pure-XLA
+composition, interpret mode: whole-sample and halo-tiled grids, with and
+without the residual projection. Includes the edge-row regression (SAME
+padding must zero the halo in y1 space — conv1 of a zero row is relu(b1),
+not zero) using positive-shifted bn biases that expose it."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import video_chapter_generation_tpu.ops.tsm_block_pallas as blk
+from video_chapter_generation_tpu.ops.temporal_shift import temporal_shift
+from video_chapter_generation_tpu.ops.tsm_block_pallas import (
+    tsm_bottleneck_pallas,
+    tsm_bottleneck_reference,
+)
+
+T, B, H, W = 4, 2, 8, 8
+
+
+def _params(rng, c_in, f, c_out):
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    # positive-shifted biases: relu(b) != 0, catches wrong edge padding
+    aff = lambda n: (
+        jnp.asarray(rng.standard_normal(n) * 0.2 + 1, jnp.float32),
+        jnp.asarray(rng.standard_normal(n) * 0.1 + 0.3, jnp.float32),
+    )
+    return {
+        "w1": mk(c_in, f), "w2": mk(3, 3, f, f), "w3": mk(f, c_out),
+        "wp": mk(c_in, c_out),
+        "a1": aff(f), "a2": aff(f), "a3": aff(c_out), "ap": aff(c_out),
+    }
+
+
+def _xla_proj_ref(x, p):
+    conv = lambda y, k: jax.lax.conv_general_dilated(
+        y, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    c_in, f = p["w1"].shape
+    c_out = p["w3"].shape[1]
+    y = temporal_shift(x, T)
+    y = jnp.maximum(conv(y, p["w1"].reshape(1, 1, c_in, f))
+                    * p["a1"][0] + p["a1"][1], 0)
+    y = jnp.maximum(conv(y, p["w2"]) * p["a2"][0] + p["a2"][1], 0)
+    y = conv(y, p["w3"].reshape(1, 1, f, c_out)) * p["a3"][0] + p["a3"][1]
+    res = (conv(x, p["wp"].reshape(1, 1, c_in, c_out))
+           * p["ap"][0] + p["ap"][1])
+    return jnp.maximum(y + res, 0)
+
+
+@pytest.mark.parametrize("rows", [None, 4], ids=["whole", "tiled"])
+def test_fused_block_matches_reference(rows, monkeypatch):
+    if rows is not None:
+        monkeypatch.setattr(blk, "_pick_rows", lambda h, w, c, t: rows)
+    rng = np.random.default_rng(0)
+    c = 32
+    p = _params(rng, c, c // 4, c)
+    x = jnp.asarray(rng.standard_normal((B * T, H, W, c)), jnp.float32)
+    args = (x, p["w1"], p["w2"], p["w3"], *p["a1"], *p["a2"], *p["a3"], T)
+    ref = tsm_bottleneck_reference(*args)
+    got = tsm_bottleneck_pallas(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("rows", [None, 4], ids=["whole", "tiled"])
+def test_fused_block_projection(rows, monkeypatch):
+    if rows is not None:
+        monkeypatch.setattr(blk, "_pick_rows", lambda h, w, c, t: rows)
+    rng = np.random.default_rng(1)
+    c_in, f = 16, 8
+    p = _params(rng, c_in, f, 4 * f)
+    x = jnp.asarray(rng.standard_normal((B * T, H, W, c_in)), jnp.float32)
+    ref = _xla_proj_ref(x, p)
+    got = tsm_bottleneck_pallas(
+        x, p["w1"], p["w2"], p["w3"], *p["a1"], *p["a2"], *p["a3"], T,
+        wp=p["wp"], sp=p["ap"][0], bp=p["ap"][1],
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_resnet_fusedblk_impl_matches_xla():
+    """fusedblk falls back off-TPU, but the param tree must stay
+    interchangeable: init under one impl, apply under all."""
+    from video_chapter_generation_tpu.models.resnet import ResNet
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32)
+    outs, v = {}, None
+    for impl in ("xla", "tap3", "fusedblk"):
+        m = ResNet(stage_sizes=(1, 2, 1, 1), n_segment=4, tsm_impl=impl)
+        if v is None:
+            v = jax.jit(lambda m=m: m.init(jax.random.PRNGKey(0), x,
+                                           train=False))()
+        outs[impl] = m.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(outs["tap3"]),
+                               np.asarray(outs["xla"]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs["fusedblk"]),
+                               np.asarray(outs["xla"]), rtol=1e-4, atol=1e-5)

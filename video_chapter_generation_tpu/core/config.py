@@ -53,6 +53,10 @@ class ModelConfig:
     # vision
     tsm_n_div: int = 8
     tsm_place: str = "blockres"
+    # TSM implementation: "auto" = per-stage best from the PERF.md sweep
+    # (whole-block fused kernels for layers 1-2 at inference, pallas conv1
+    # elsewhere/training); or one of tap3 | pallas | xla | fusedblk
+    tsm_impl: str = "auto"
     # pretrained checkpoint paths (converted from torch; optional)
     bert_init: Optional[str] = None
     vision_init: Optional[str] = None

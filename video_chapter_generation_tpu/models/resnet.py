@@ -26,9 +26,16 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.temporal_shift import temporal_shift, temporal_shift_conv1x1
+from ..ops.temporal_shift import (
+    temporal_shift,
+    temporal_shift_conv1x1,
+    temporal_shift_conv1x1_3tap,
+)
 
 STAGE_SIZES = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+
+# inference impl per stage under tsm_impl="auto" (PERF.md round-2 sweep)
+AUTO_TSM_IMPL = ("fusedblk", "fusedblk", "pallas", "pallas")
 
 
 class TSMConv1x1(nn.Module):
@@ -36,15 +43,21 @@ class TSMConv1x1(nn.Module):
     nn.Conv(features, (1,1), use_bias=False) so weight converters and
     checkpoints are interchangeable with the unfused path.
 
-    On TPU this lowers to the Pallas kernel (ops/tsm_conv_pallas.py) that
-    keeps the whole time axis of a spatial tile VMEM-resident — plain-conv
-    HBM traffic instead of the 2x round-trip of a materialized shift.
-    Elsewhere it uses the XLA three-partial-matmul rewrite.
+    tsm_impl:
+    - "tap3" (default): ONE native XLA conv with a channel-masked 3-tap
+      temporal kernel (ops/temporal_shift.py temporal_shift_conv1x1_3tap).
+      Exact, autodiffs natively, and on v5e runs at the plain-conv roofline
+      wherever the block is memory-bound — the fastest path measured
+      (PERF.md round 2), for training AND inference.
+    - "pallas": the VMEM-resident Pallas kernel (ops/tsm_conv_pallas.py),
+      optionally with folded-BN+ReLU epilogue via out_scale/out_bias.
+    - "xla": three partial matmuls on time-shifted slices.
     """
 
     features: int
     n_segment: int
     n_div: int = 8
+    tsm_impl: str = "tap3"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -55,6 +68,10 @@ class TSMConv1x1(nn.Module):
             (1, 1, x.shape[-1], self.features),
         )
         kernel = kernel.astype(self.dtype)
+        if self.tsm_impl == "tap3" and out_scale is None:
+            return temporal_shift_conv1x1_3tap(
+                x, kernel, self.n_segment, self.n_div
+            )
         if out_scale is not None:
             # inference: folded BN + ReLU epilogue inside the kernel
             from ..ops.tsm_conv_pallas import tsm_conv1x1_bn_relu_pallas
@@ -62,7 +79,7 @@ class TSMConv1x1(nn.Module):
             return tsm_conv1x1_bn_relu_pallas(
                 x, kernel, out_scale, out_bias, self.n_segment, self.n_div
             )
-        if jax.default_backend() == "tpu":
+        if self.tsm_impl == "pallas" and jax.default_backend() == "tpu":
             from ..ops.tsm_conv_pallas import tsm_conv1x1_pallas
 
             return tsm_conv1x1_pallas(x, kernel, self.n_segment, self.n_div)
@@ -88,6 +105,19 @@ class _BNParams(nn.Module):
         return scale, bias, mean.value, var.value
 
 
+class _ConvKernel(nn.Module):
+    """Declares an nn.Conv-compatible 'kernel' param WITHOUT computing —
+    used by the whole-block fused path so its checkpoint layout is
+    interchangeable with the standard conv modules."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
 class Bottleneck(nn.Module):
     """ResNet v1.5 bottleneck (stride on the 3x3), optional TSM on conv1
     input."""
@@ -97,8 +127,13 @@ class Bottleneck(nn.Module):
     projection: bool = False
     n_segment: int = 0  # >0 enables temporal shift
     n_div: int = 8
-    fuse_tsm: bool = True  # fuse shift into conv1 (1.8x on v5e)
-    fold_bn_inference: Optional[bool] = None  # None: auto (TPU only)
+    fuse_tsm: bool = True  # fuse shift into conv1
+    tsm_impl: str = "tap3"  # "tap3" | "pallas" | "xla" (see TSMConv1x1)
+    # override used when NOT in inference mode (training / bn_batch_stats):
+    # the 3-tap conv autodiffs natively and measured 22% faster train steps
+    # than the custom-vjp pallas kernel (bench_train.py, PERF.md round 2)
+    tsm_impl_train: Optional[str] = None
+    fold_bn_inference: Optional[bool] = None  # pallas impl only; None: auto
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -118,24 +153,44 @@ class Bottleneck(nn.Module):
 
         residual = x
         y = x
-        auto_fold = jax.default_backend() == "tpu"
+        # whole-bottleneck fused kernel: stride-1 / no-projection blocks at
+        # inference only (ops/tsm_block_pallas.py); other blocks of a
+        # "fusedblk" stage fall back to the pallas conv1 kernel
+        impl = self.tsm_impl
+        if not use_ra and self.tsm_impl_train is not None:
+            impl = self.tsm_impl_train
+        if impl == "fusedblk":
+            # projection blocks measure FASTER on the pallas-conv1 path
+            # (model-level sweep, PERF.md round 2), so only plain residual
+            # blocks take the whole-block kernel
+            whole = (
+                self.n_segment > 0 and self.fuse_tsm and use_ra
+                and self.stride == 1 and not self.projection
+                and jax.default_backend() == "tpu"
+            )
+            if whole:
+                return self._whole_block(x, use_ra)
+            impl = "pallas"
+        auto_fold = impl == "pallas" and jax.default_backend() == "tpu"
         fold_bn = (
             self.n_segment > 0 and self.fuse_tsm and use_ra
             and (self.fold_bn_inference
                  if self.fold_bn_inference is not None else auto_fold)
         )
         if fold_bn:
-            # inference: fold BN1 + ReLU into the kernel epilogue
+            # pallas inference: fold BN1 + ReLU into the kernel epilogue
+            # (the tap3 impl needs no folding — XLA fuses eval-BN+ReLU
+            # into the conv on its own)
             scale, bias, mean, var = _BNParams(self.features, name="bn1")()
             s = scale * jax.lax.rsqrt(var + 1e-5)
             b = bias - mean * s
             y = TSMConv1x1(self.features, self.n_segment, self.n_div,
-                           self.dtype, name="conv1")(y, out_scale=s,
-                                                     out_bias=b)
+                           "pallas", self.dtype, name="conv1")(
+                               y, out_scale=s, out_bias=b)
         else:
             if self.n_segment > 0 and self.fuse_tsm:
                 y = TSMConv1x1(self.features, self.n_segment, self.n_div,
-                               self.dtype, name="conv1")(y)
+                               impl, self.dtype, name="conv1")(y)
             else:
                 if self.n_segment > 0:
                     y = temporal_shift(y, self.n_segment, self.n_div)
@@ -152,6 +207,34 @@ class Bottleneck(nn.Module):
 
         return nn.relu(y + residual)
 
+    def _whole_block(self, x, use_ra: bool):
+        """Inference fast path: the entire bottleneck (shift + conv1 +
+        bn/relu + 3x3 + bn/relu + conv3 + bn + residual + relu) in ONE
+        Pallas kernel. Parameter tree identical to the standard path."""
+        from ..ops.tsm_block_pallas import tsm_bottleneck_pallas
+
+        f, c = self.features, x.shape[-1]
+        w1 = _ConvKernel((1, 1, c, f), name="conv1")().astype(self.dtype)
+        w2 = _ConvKernel((3, 3, f, f), name="conv2")().astype(self.dtype)
+        w3 = _ConvKernel((1, 1, f, 4 * f), name="conv3")().astype(self.dtype)
+
+        def fold(bn_name, n):
+            scale, bias, mean, var = _BNParams(n, name=bn_name)()
+            s = scale * jax.lax.rsqrt(var + 1e-5)
+            return s, bias - mean * s
+
+        s1, b1 = fold("bn1", f)
+        s2, b2 = fold("bn2", f)
+        s3, b3 = fold("bn3", 4 * f)
+        wp = sp = bp = None
+        if self.projection:  # stride-1 downsample (layer1 block0)
+            wp = _ConvKernel((1, 1, c, 4 * f),
+                             name="proj_conv")().astype(self.dtype)
+            sp, bp = fold("proj_bn", 4 * f)
+        return tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
+                                     self.n_segment, self.n_div,
+                                     wp=wp, sp=sp, bp=bp)
+
 
 class ResNet(nn.Module):
     """ResNet-50/101 backbone -> [N, feature_dim] pooled features."""
@@ -160,6 +243,12 @@ class ResNet(nn.Module):
     n_segment: int = 0  # >0: TSM on every block ('blockres')
     n_div: int = 8
     fuse_tsm: bool = True
+    # "auto" (default) = the best measured mix per mode (PERF.md round-2
+    # sweeps): INFERENCE runs whole-block fused kernels where activations
+    # dominate (layers 1-2) and the pallas conv1 kernel elsewhere;
+    # TRAINING runs the natively-differentiable 3-tap conv everywhere.
+    # Or: one impl string for all stages, or a per-stage 4-tuple.
+    tsm_impl: Any = "auto"
     fold_bn_inference: Optional[bool] = None
     stage_sizes: Optional[Sequence[int]] = None  # override blocks-per-stage
     dtype: Any = jnp.float32
@@ -201,6 +290,13 @@ class ResNet(nn.Module):
             features = 64 * (2**stage)
             for block in range(num_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
+                if self.tsm_impl == "auto":
+                    impl = AUTO_TSM_IMPL[stage]
+                    impl_train = "tap3"
+                elif isinstance(self.tsm_impl, str):
+                    impl, impl_train = self.tsm_impl, None
+                else:
+                    impl, impl_train = self.tsm_impl[stage], None
                 y = Bottleneck(
                     features=features,
                     stride=stride,
@@ -208,6 +304,8 @@ class ResNet(nn.Module):
                     n_segment=self.n_segment,
                     n_div=self.n_div,
                     fuse_tsm=self.fuse_tsm,
+                    tsm_impl=impl,
+                    tsm_impl_train=impl_train,
                     fold_bn_inference=self.fold_bn_inference,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{block}",
@@ -231,14 +329,15 @@ class Resnet50TSM(nn.Module):
     shift_div: int = 8
     with_head: bool = False
     fuse_tsm: bool = True
+    tsm_impl: Any = "auto"
     stage_sizes: Optional[Sequence[int]] = None  # tiny variants for tests
     dtype: Any = jnp.float32
 
     def setup(self):
         self.base_model = ResNet(
             depth=50, n_segment=self.segments_size, n_div=self.shift_div,
-            fuse_tsm=self.fuse_tsm, stage_sizes=self.stage_sizes,
-            dtype=self.dtype,
+            fuse_tsm=self.fuse_tsm, tsm_impl=self.tsm_impl,
+            stage_sizes=self.stage_sizes, dtype=self.dtype,
         )
         if self.with_head:
             self.head = nn.Dense(2, dtype=self.dtype)

@@ -186,3 +186,45 @@ def temporal_shift_conv1x1(
         [zpad, dot(x4[:, :-1, :, f : 2 * f], k[f : 2 * f])], axis=1
     )
     return (y_same + y_left + y_right).reshape(nt, h, w, -1)
+
+
+def temporal_shift_conv1x1_3tap(
+    x: jax.Array, kernel: jax.Array, n_segment: int, n_div: int = 8
+) -> jax.Array:
+    """Fused [temporal shift -> 1x1 conv] as ONE native XLA convolution.
+
+    The shift selects, per output step t, channel folds from x[t+1] /
+    x[t-1] / x[t] (ops/temporal_shift.py:33-51 reference semantics). That
+    is exactly a size-3 temporal convolution with a channel-masked kernel:
+      k3[2, :fold]        = W[:fold]         (reads x[t+1])
+      k3[0, fold:2*fold]  = W[fold:2*fold]   (reads x[t-1])
+      k3[1, 2*fold:]      = W[2*fold:]       (static channels)
+    laid out as an NHWC conv over [B, T, H*W, C] with window (3, 1) and
+    SAME zero padding on the time axis (zeros shift in at the ends, like
+    the reference). Costs 3x the 1x1-conv FLOPs (the masked kernel is 2/3
+    zeros) but runs as a single XLA conv at the MXU/HBM roofline with the
+    bn+relu epilogue fused by XLA — measured on v5e this beats both the
+    materialized shift and hand-written Pallas fusions wherever the block
+    is memory-bound (ResNet50 layers 1-3). Exact (not approximate), and
+    autodiff works natively (the kernel mask is a straight-through
+    scatter), so the same path serves training.
+
+    x: [N*T, H, W, C]; kernel: [1, 1, C, F] (the nn.Conv 1x1 layout).
+    """
+    nt, h, w, c = x.shape
+    b = nt // n_segment
+    fold = c // n_div
+    f_out = kernel.shape[-1]
+    k2 = kernel.reshape(c, f_out)
+
+    k3 = jnp.zeros((3, 1, c, f_out), k2.dtype)
+    k3 = k3.at[2, 0, :fold].set(k2[:fold])
+    k3 = k3.at[0, 0, fold : 2 * fold].set(k2[fold : 2 * fold])
+    k3 = k3.at[1, 0, 2 * fold :].set(k2[2 * fold :])
+
+    x4 = x.reshape(b, n_segment, h * w, c)
+    y = jax.lax.conv_general_dilated(
+        x4, k3, (1, 1), [(1, 1), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y.reshape(nt, h, w, f_out)

@@ -1,0 +1,299 @@
+"""Pallas TPU kernel: a WHOLE ResNet bottleneck block with temporal shift,
+fused into one VMEM-resident pipeline (inference path).
+
+Computes, for a stride-1 / no-projection bottleneck (the 11 of 16 blocks of
+ResNet50-TSM that dominate the vision-embed hot path, reference semantics
+`ops/temporal_shift.py:11-51` + torchvision bottleneck):
+
+    y1 = relu(bn1(conv1x1(tshift(x))))      # shift fused as matmul correction
+    y2 = relu(bn2(conv3x3(y1)))             # 9 shifted matmuls, halo rows
+    y  = relu(bn3(conv1x1(y2)) + x)         # residual read from VMEM
+
+in ONE kernel: x is read from HBM once and y written once. The per-conv1
+Pallas kernel (tsm_conv_pallas.py) already avoided the materialized shift,
+but every bn/relu/conv boundary still cost an HBM round-trip of the
+activation; block-level measurement on v5e (PERF.md round 2) showed the
+remaining TSM overhead concentrated in layers 1-2 where activations are
+large. This kernel removes ALL intra-block traffic:
+  HBM bytes/block: read x + 2 halo rows, write y  (vs 3 reads + 3 writes).
+
+Grid/halo design: grid = (batch, row_tiles). The 3x3 conv needs one halo
+row above and below each row tile; Pallas BlockSpecs cannot overlap, so the
+halo rows arrive as two extra 1-row inputs whose index_map CLAMPS at the
+image boundary (top halo of tile j is absolute row j*R-1, clamped to 0) and
+the kernel zeroes them at the true edges (SAME zero padding). Column halos
+are zero-padded in VMEM (the whole row width is resident).
+
+BatchNorm is pre-folded to scale/bias (inference running stats). Training
+uses the per-conv1 custom-vjp kernel instead.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# conv1 correction strategy: "fold" = two small K=fold dots on lane slices
+# (1.25x conv1 FLOPs, lane-unaligned slices); "masked" = one full-K dot on
+# a channel-masked diff (2x FLOPs, no lane slicing). Measured on v5e the
+# fold strategy is ~2% faster at model level; kept switchable for tuning.
+_CONV1_MODE = "fold"
+
+
+def _conv1_shift(x, w1, fold: int, s1, b1, dt):
+    """Fused temporal-shift + 1x1 conv + bn/relu epilogue on a [T, R, W, C]
+    tile (see tsm_conv_pallas.py docstring for the correction algebra).
+    Returns bf16 [T, R, W, F]."""
+    t, r, w, c = x.shape
+    f = w1.shape[1]
+    y = jnp.dot(x.reshape(t * r * w, c), w1,
+                preferred_element_type=jnp.float32)
+    zt = jnp.zeros_like(x[:1])
+    if _CONV1_MODE == "masked":
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, c), 3)
+        x_next = jnp.concatenate([x[1:], zt], axis=0)
+        x_prev = jnp.concatenate([zt, x[: t - 1]], axis=0)
+        d = (
+            jnp.where(lane < fold, x_next, 0.0)
+            + jnp.where((lane >= fold) & (lane < 2 * fold), x_prev, 0.0)
+            - jnp.where(lane < 2 * fold, x, 0.0)
+        ).astype(x.dtype)
+        y += jnp.dot(d.reshape(t * r * w, c), w1,
+                     preferred_element_type=jnp.float32)
+    else:
+        def corr(xs, ws):
+            return jnp.dot(xs.reshape(t * r * w, xs.shape[-1]), ws,
+                           preferred_element_type=jnp.float32)
+
+        # fold 0 at t reads x[t+1] (zero at t=T-1)
+        xl = x[..., :fold]
+        y += corr(jnp.concatenate([xl[1:], zt[..., :fold]], axis=0) - xl,
+                  w1[:fold])
+        # fold 1 at t reads x[t-1] (zero at t=0)
+        xr = x[..., fold : 2 * fold]
+        y += corr(
+            jnp.concatenate([zt[..., fold : 2 * fold], xr[: t - 1]],
+                            axis=0) - xr,
+            w1[fold : 2 * fold],
+        )
+    y = jnp.maximum(y * s1 + b1, 0.0).astype(dt)
+    return y.reshape(t, r, w, f)
+
+
+def _kernel(x_ref, *refs, fold: int, halo: bool, proj: bool):
+    """One (batch sample, row tile) step. Shapes:
+    x_ref [1,T,R,W,C]; with halo also top/bot_ref [1,T,1,W,C];
+    then w1 [C,F], w2 [3,3F,F] (dr-major im2col layout), w3 [F,Cout],
+    s*/b* [1,*]; with proj also wp [C,Cout], sp/bp [1,Cout];
+    o_ref [1,T,R,W,Cout]."""
+    if halo:
+        top_ref, bot_ref = refs[0], refs[1]
+        refs = refs[2:]
+    (w1_ref, w2_ref, w3_ref, s1_ref, b1_ref, s2_ref, b2_ref, s3_ref,
+     b3_ref, *refs) = refs
+    if proj:
+        wp_ref, sp_ref, bp_ref, o_ref = refs
+    else:
+        (o_ref,) = refs
+    t, r, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3], x_ref.shape[4]
+    f = w1_ref.shape[1]
+    c_out = o_ref.shape[-1]
+    dt = o_ref.dtype
+
+    x = x_ref[0]
+    w1 = w1_ref[:]
+    s1, b1 = s1_ref[0], b1_ref[0]
+
+    if halo:
+        j = pl.program_id(1)
+        n_tiles = pl.num_programs(1)
+        # conv1 on body + halo rows (halo needs conv1 output for the 3x3).
+        # At the TRUE image edges the halo must be the 3x3's SAME zero
+        # padding — zero in y1 space, AFTER conv1 (conv1 of a zero row is
+        # relu(b1), not zero).
+        top_y = (jnp.where(j == 0, 0.0, 1.0).astype(dt)
+                 * _conv1_shift(top_ref[0], w1, fold, s1, b1, dt))
+        bot_y = (jnp.where(j == n_tiles - 1, 0.0, 1.0).astype(dt)
+                 * _conv1_shift(bot_ref[0], w1, fold, s1, b1, dt))
+        y1 = jnp.concatenate(
+            [top_y, _conv1_shift(x, w1, fold, s1, b1, dt), bot_y],
+            axis=1,
+        )  # [T, R+2, W, F]
+    else:
+        # whole image resident: zero-row padding instead of halo inputs
+        zrow = jnp.zeros((t, 1, w, f), dt)
+        y1 = jnp.concatenate(
+            [zrow, _conv1_shift(x, w1, fold, s1, b1, dt), zrow], axis=1
+        )
+
+    # 3x3 conv as width-im2col + 3 row-shifted K=3F matmuls:
+    # z[t,r,w] = (y1[t,r,w-1], y1[t,r,w], y1[t,r,w+1])  (zero col padding)
+    zc = jnp.zeros((t, r + 2, 1, f), dt)
+    z = jnp.concatenate(
+        [
+            jnp.concatenate([zc, y1[:, :, :-1]], axis=2),
+            y1,
+            jnp.concatenate([y1[:, :, 1:], zc], axis=2),
+        ],
+        axis=-1,
+    )  # [T, R+2, W, 3F]
+    acc = jnp.dot(z[:, 1 : r + 1].reshape(t * r * w, 3 * f), w2_ref[1],
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(z[:, :r].reshape(t * r * w, 3 * f), w2_ref[0],
+                   preferred_element_type=jnp.float32)
+    acc += jnp.dot(z[:, 2 : r + 2].reshape(t * r * w, 3 * f), w2_ref[2],
+                   preferred_element_type=jnp.float32)
+    y2 = jnp.maximum(acc * s2_ref[0] + b2_ref[0], 0.0).astype(dt)
+
+    y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
+    # fold BN3 in f32, then residual-add + relu in the block dtype (bf16):
+    # matches the plain bf16 model's block-boundary precision while keeping
+    # the VMEM working set small enough for whole-sample blocks
+    y3 = (y3 * s3_ref[0] + b3_ref[0]).astype(dt).reshape(t, r, w, c_out)
+    if proj:
+        res = jnp.dot(x.reshape(t * r * w, c), wp_ref[:],
+                      preferred_element_type=jnp.float32)
+        res = ((res * sp_ref[0] + bp_ref[0]).astype(dt)
+               .reshape(t, r, w, c_out))
+    else:
+        res = x
+    o_ref[0] = jnp.maximum(y3 + res, 0.0)
+
+
+def _pick_rows(h: int, w: int, c: int, t: int) -> int:
+    """Row-tile size. Prefer the WHOLE image per grid step when its
+    working set fits ~40MB of VMEM — the block DMA is then one fully
+    contiguous chunk, which is what gets Pallas near the HBM roofline;
+    otherwise split into equal halo tiles of ~14MB (x + out + y1 + im2col
+    + f32 accumulators, x/out doubled by pipelining)."""
+    f = c // 4
+    bytes_per_row = t * w * (2 * c * 2 + f * 2 + f * 4 + f * 2)
+    if bytes_per_row * h <= 40 * 1024 * 1024:
+        return h
+    rows = max(1, (14 * 1024 * 1024) // max(bytes_per_row, 1))
+    n_tiles = -(-h // rows)  # ceil
+    while h % n_tiles:
+        n_tiles += 1
+    return h // n_tiles
+
+
+def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
+                          n_segment: int, n_div: int = 8,
+                          wp=None, sp=None, bp=None):
+    """Fused inference bottleneck: x [N*T, H, W, C] -> [N*T, H, W, Cout].
+
+    w1 [1,1,C,F] or [C,F]; w2 [3,3,F,F]; w3 [1,1,F,Cout] or [F,Cout];
+    s*/b*: inference-folded BatchNorm scale/bias per conv output. With
+    wp/sp/bp ([C,Cout] + affine) the residual goes through the projection
+    conv (stride-1 downsample blocks, e.g. ResNet50 layer1 block0)."""
+    nt, h, w, c = x.shape
+    b = nt // n_segment
+    t = n_segment
+    w1 = w1.reshape(c, -1).astype(x.dtype)
+    f = w1.shape[1]
+    w2 = w2.reshape(3, 3, f, f).astype(x.dtype)
+    w3 = w3.reshape(f, -1).astype(x.dtype)
+    c_out = w3.shape[1]
+    assert (wp is not None) == (c_out != c), (c, c_out)
+    fold = c // n_div
+
+    rows = _pick_rows(h, w, max(c, c_out), t)
+    n_tiles = h // rows
+    x5 = x.reshape(b, t, h, w, c)
+
+    def vec(v, n):
+        return v.reshape(1, n).astype(jnp.float32)
+
+    halo = n_tiles > 1
+    grid = (b, n_tiles) if halo else (b,)
+
+    if halo:
+        idx = lambda i, j: (i, 0, j, 0, 0)
+        body_spec = pl.BlockSpec((1, t, rows, w, c), idx,
+                                 memory_space=pltpu.VMEM)
+        # halo rows: 1-row blocks at absolute rows j*rows-1 / j*rows+rows,
+        # CLAMPED into range at the edges (the kernel zeroes them there)
+        halo_specs = [
+            pl.BlockSpec(
+                (1, t, 1, w, c),
+                lambda i, j: (i, 0, jnp.maximum(j * rows - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, t, 1, w, c),
+                lambda i, j: (i, 0, jnp.minimum(j * rows + rows, h - 1),
+                              0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        halo_args = [x5, x5]
+    else:
+        # whole sample per step: ONE fully contiguous DMA per block
+        idx = lambda i: (i, 0, 0, 0, 0)
+        body_spec = pl.BlockSpec((1, t, h, w, c), idx,
+                                 memory_space=pltpu.VMEM)
+        halo_specs, halo_args = [], []
+
+    full = lambda shape: pl.BlockSpec(
+        shape, (lambda i, j: tuple(0 for _ in shape)) if halo
+        else (lambda i: tuple(0 for _ in shape)),
+        memory_space=pltpu.VMEM,
+    )
+
+    proj = wp is not None
+    proj_specs, proj_args = [], []
+    if proj:
+        proj_specs = [full((c, c_out)), full((1, c_out)), full((1, c_out))]
+        proj_args = [wp.reshape(c, c_out).astype(x.dtype),
+                     vec(sp, c_out), vec(bp, c_out)]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, fold=fold, halo=halo, proj=proj),
+        out_shape=jax.ShapeDtypeStruct((b, t, h, w, c_out), x.dtype),
+        grid=grid,
+        in_specs=[
+            body_spec, *halo_specs,
+            full((c, f)), full((3, 3 * f, f)), full((f, c_out)),
+            full((1, f)), full((1, f)), full((1, f)), full((1, f)),
+            full((1, c_out)), full((1, c_out)),
+            *proj_specs,
+        ],
+        out_specs=pl.BlockSpec((1, t, rows, w, c_out) if halo
+                               else (1, t, h, w, c_out), idx,
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        # w2 in dr-major / dc-stacked im2col layout: [3, 3F, F]
+        x5, *halo_args, w1, w2.reshape(3, 3 * f, f), w3,
+        vec(s1, f), vec(b1, f), vec(s2, f), vec(b2, f),
+        vec(s3, c_out), vec(b3, c_out),
+        *proj_args,
+    )
+    return out.reshape(nt, h, w, c_out)
+
+
+def tsm_bottleneck_reference(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
+                             n_segment: int, n_div: int = 8):
+    """Pure-XLA reference of the fused block (tests + non-TPU fallback)."""
+    from .temporal_shift import temporal_shift
+
+    nt, h, w, c = x.shape
+    f = w1.reshape(c, -1).shape[1]
+    conv = lambda y, k: jax.lax.conv_general_dilated(
+        y, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = temporal_shift(x, n_segment, n_div)
+    y = conv(y, w1.reshape(1, 1, c, f).astype(x.dtype))
+    y = jnp.maximum(y * s1 + b1, 0).astype(x.dtype)
+    y = conv(y, w2.reshape(3, 3, f, f).astype(x.dtype))
+    y = jnp.maximum(y * s2 + b2, 0).astype(x.dtype)
+    y = conv(y, w3.reshape(1, 1, f, c).astype(x.dtype))
+    y = y * s3 + b3
+    return jnp.maximum(y + x, 0).astype(x.dtype)

@@ -35,9 +35,13 @@ def _bert_cfg(cfg: Config, tiny: bool) -> BertConfig:
 
 
 def _vision(cfg: Config, tiny: bool, n_segment: int) -> ResNet:
+    # "auto" resolves per mode inside ResNet: tap3 for training, the
+    # fused/pallas mix for inference (PERF.md round-2 sweeps)
     if tiny:
-        return ResNet(stage_sizes=(1, 1, 1, 1), n_segment=n_segment)
-    return ResNet(depth=50, n_segment=n_segment)
+        return ResNet(stage_sizes=(1, 1, 1, 1), n_segment=n_segment,
+                      tsm_impl=cfg.model.tsm_impl)
+    return ResNet(depth=50, n_segment=n_segment,
+                  tsm_impl=cfg.model.tsm_impl)
 
 
 class _TaskBase:
