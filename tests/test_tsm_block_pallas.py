@@ -49,17 +49,18 @@ def _xla_proj_ref(x, p):
     return jnp.maximum(y + res, 0)
 
 
+@pytest.mark.parametrize("conv1_mode", ["pair", "fold", "masked"])
+@pytest.mark.parametrize("fpad", [False, True], ids=["nopad", "fpad"])
 @pytest.mark.parametrize("rows", [None, 4], ids=["whole", "tiled"])
-def test_fused_block_matches_reference(rows, monkeypatch):
-    if rows is not None:
-        monkeypatch.setattr(blk, "_pick_rows", lambda h, w, c, t: rows)
+def test_fused_block_matches_reference(rows, fpad, conv1_mode):
     rng = np.random.default_rng(0)
     c = 32
     p = _params(rng, c, c // 4, c)
     x = jnp.asarray(rng.standard_normal((B * T, H, W, c)), jnp.float32)
     args = (x, p["w1"], p["w2"], p["w3"], *p["a1"], *p["a2"], *p["a3"], T)
     ref = tsm_bottleneck_reference(*args)
-    got = tsm_bottleneck_pallas(*args)
+    got = tsm_bottleneck_pallas(
+        *args, tuning=dict(rows=rows, fpad=fpad, conv1_mode=conv1_mode))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 

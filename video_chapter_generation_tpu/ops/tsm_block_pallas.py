@@ -6,7 +6,7 @@ ResNet50-TSM that dominate the vision-embed hot path, reference semantics
 `ops/temporal_shift.py:11-51` + torchvision bottleneck):
 
     y1 = relu(bn1(conv1x1(tshift(x))))      # shift fused as matmul correction
-    y2 = relu(bn2(conv3x3(y1)))             # 9 shifted matmuls, halo rows
+    y2 = relu(bn2(conv3x3(y1)))             # 3 row-shifted im2col matmuls
     y  = relu(bn3(conv1x1(y2)) + x)         # residual read from VMEM
 
 in ONE kernel: x is read from HBM once and y written once. The per-conv1
@@ -26,6 +26,23 @@ are zero-padded in VMEM (the whole row width is resident).
 
 BatchNorm is pre-folded to scale/bias (inference running stats). Training
 uses the per-conv1 custom-vjp kernel instead.
+
+Tuning knobs (module DEFAULT_TUNING, overridable per call) — every
+combination is numerically exact; defaults are the fastest measured mix on
+TPU v5e (PERF.md):
+- conv1_mode: how the temporal-shift correction enters the conv1 matmul.
+  "pair" does ONE K=2*fold dot on the first 2*fold channels with a
+  lane-selected (next/prev) temporal diff — half the MXU passes of "fold"
+  (two K=fold dots) since both folds fit one 128-wide K chunk at L1/L2;
+  "masked" is one full-K dot on a channel-masked diff (no lane slicing,
+  2x conv1 FLOPs).
+- fpad: zero-pad the bottleneck width F up to a multiple of 128 lanes
+  (host-side, weights/scales only). At L1 (F=64) this makes the im2col
+  lane-concat and every intermediate tile-aligned; padded lanes stay
+  exactly zero through relu(0*acc+0) so results are unchanged.
+- rows: row-tile override (None = _pick_rows heuristic).
+- dimsem: Mosaic dimension_semantics for the grid ("parallel" marks grid
+  steps order-independent, enabling more aggressive pipelining).
 """
 
 from __future__ import annotations
@@ -38,14 +55,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-# conv1 correction strategy: "fold" = two small K=fold dots on lane slices
-# (1.25x conv1 FLOPs, lane-unaligned slices); "masked" = one full-K dot on
-# a channel-masked diff (2x FLOPs, no lane slicing). Measured on v5e the
-# fold strategy is ~2% faster at model level; kept switchable for tuning.
-_CONV1_MODE = "fold"
+DEFAULT_TUNING = dict(
+    conv1_mode="pair",  # "pair" | "fold" | "masked"
+    # fpad measured SLOWER at L1 on v5e (the extra 128-wide MXU K chunks in
+    # conv2 cost more than the alignment saves) — off by default
+    fpad=False,         # pad F to a 128-lane multiple (host side)
+    rows=None,          # row-tile override
+    dimsem="parallel",  # None | "parallel"
+)
 
 
-def _conv1_shift(x, w1, fold: int, s1, b1, dt):
+def _conv1_shift(x, w1, fold: int, s1, b1, dt, mode: str):
     """Fused temporal-shift + 1x1 conv + bn/relu epilogue on a [T, R, W, C]
     tile (see tsm_conv_pallas.py docstring for the correction algebra).
     Returns bf16 [T, R, W, F]."""
@@ -54,7 +74,18 @@ def _conv1_shift(x, w1, fold: int, s1, b1, dt):
     y = jnp.dot(x.reshape(t * r * w, c), w1,
                 preferred_element_type=jnp.float32)
     zt = jnp.zeros_like(x[:1])
-    if _CONV1_MODE == "masked":
+    if mode == "pair":
+        # one dot over the first 2*fold channels: lanes [0,fold) need the
+        # NEXT frame, lanes [fold,2fold) the PREVIOUS frame (zero at edges)
+        x2 = x[..., : 2 * fold]
+        z2 = zt[..., : 2 * fold]
+        nxt = jnp.concatenate([x2[1:], z2], axis=0)
+        prv = jnp.concatenate([z2, x2[: t - 1]], axis=0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 2 * fold), 3)
+        d = (jnp.where(lane < fold, nxt, prv) - x2).astype(x.dtype)
+        y += jnp.dot(d.reshape(t * r * w, 2 * fold), w1[: 2 * fold],
+                     preferred_element_type=jnp.float32)
+    elif mode == "masked":
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, c), 3)
         x_next = jnp.concatenate([x[1:], zt], axis=0)
         x_prev = jnp.concatenate([zt, x[: t - 1]], axis=0)
@@ -65,7 +96,7 @@ def _conv1_shift(x, w1, fold: int, s1, b1, dt):
         ).astype(x.dtype)
         y += jnp.dot(d.reshape(t * r * w, c), w1,
                      preferred_element_type=jnp.float32)
-    else:
+    else:  # "fold": two K=fold dots on lane slices
         def corr(xs, ws):
             return jnp.dot(xs.reshape(t * r * w, xs.shape[-1]), ws,
                            preferred_element_type=jnp.float32)
@@ -85,7 +116,8 @@ def _conv1_shift(x, w1, fold: int, s1, b1, dt):
     return y.reshape(t, r, w, f)
 
 
-def _kernel(x_ref, *refs, fold: int, halo: bool, proj: bool):
+def _kernel(x_ref, *refs, fold: int, halo: bool, proj: bool,
+            conv1_mode: str):
     """One (batch sample, row tile) step. Shapes:
     x_ref [1,T,R,W,C]; with halo also top/bot_ref [1,T,1,W,C];
     then w1 [C,F], w2 [3,3F,F] (dr-major im2col layout), w3 [F,Cout],
@@ -108,6 +140,8 @@ def _kernel(x_ref, *refs, fold: int, halo: bool, proj: bool):
     x = x_ref[0]
     w1 = w1_ref[:]
     s1, b1 = s1_ref[0], b1_ref[0]
+    c1 = functools.partial(_conv1_shift, w1=w1, fold=fold, s1=s1, b1=b1,
+                           dt=dt, mode=conv1_mode)
 
     if halo:
         j = pl.program_id(1)
@@ -116,20 +150,14 @@ def _kernel(x_ref, *refs, fold: int, halo: bool, proj: bool):
         # At the TRUE image edges the halo must be the 3x3's SAME zero
         # padding — zero in y1 space, AFTER conv1 (conv1 of a zero row is
         # relu(b1), not zero).
-        top_y = (jnp.where(j == 0, 0.0, 1.0).astype(dt)
-                 * _conv1_shift(top_ref[0], w1, fold, s1, b1, dt))
+        top_y = jnp.where(j == 0, 0.0, 1.0).astype(dt) * c1(top_ref[0])
         bot_y = (jnp.where(j == n_tiles - 1, 0.0, 1.0).astype(dt)
-                 * _conv1_shift(bot_ref[0], w1, fold, s1, b1, dt))
-        y1 = jnp.concatenate(
-            [top_y, _conv1_shift(x, w1, fold, s1, b1, dt), bot_y],
-            axis=1,
-        )  # [T, R+2, W, F]
+                 * c1(bot_ref[0]))
+        y1 = jnp.concatenate([top_y, c1(x), bot_y], axis=1)  # [T,R+2,W,F]
     else:
         # whole image resident: zero-row padding instead of halo inputs
         zrow = jnp.zeros((t, 1, w, f), dt)
-        y1 = jnp.concatenate(
-            [zrow, _conv1_shift(x, w1, fold, s1, b1, dt), zrow], axis=1
-        )
+        y1 = jnp.concatenate([zrow, c1(x), zrow], axis=1)
 
     # 3x3 conv as width-im2col + 3 row-shifted K=3F matmuls:
     # z[t,r,w] = (y1[t,r,w-1], y1[t,r,w], y1[t,r,w+1])  (zero col padding)
@@ -184,13 +212,17 @@ def _pick_rows(h: int, w: int, c: int, t: int) -> int:
 
 def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
                           n_segment: int, n_div: int = 8,
-                          wp=None, sp=None, bp=None):
+                          wp=None, sp=None, bp=None, tuning=None):
     """Fused inference bottleneck: x [N*T, H, W, C] -> [N*T, H, W, Cout].
 
     w1 [1,1,C,F] or [C,F]; w2 [3,3,F,F]; w3 [1,1,F,Cout] or [F,Cout];
     s*/b*: inference-folded BatchNorm scale/bias per conv output. With
     wp/sp/bp ([C,Cout] + affine) the residual goes through the projection
-    conv (stride-1 downsample blocks, e.g. ResNet50 layer1 block0)."""
+    conv (stride-1 downsample blocks, e.g. ResNet50 layer1 block0).
+    tuning: optional dict overriding DEFAULT_TUNING entries."""
+    tune = dict(DEFAULT_TUNING)
+    if tuning:
+        tune.update(tuning)
     nt, h, w, c = x.shape
     b = nt // n_segment
     t = n_segment
@@ -202,12 +234,25 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
     assert (wp is not None) == (c_out != c), (c, c_out)
     fold = c // n_div
 
-    rows = _pick_rows(h, w, max(c, c_out), t)
+    s1, b1, s2, b2 = (jnp.asarray(v).reshape(-1) for v in (s1, b1, s2, b2))
+    if tune["fpad"] and f % 128:
+        # zero-pad the bottleneck width to full 128-lane tiles: padded y1/y2
+        # lanes are exactly relu(0*acc + 0) = 0 and w3's padded rows are
+        # zero, so the result is bit-identical while every lane concat,
+        # slice, and dot in the kernel becomes tile-aligned
+        fp = -(-f // 128) * 128
+        w1 = jnp.pad(w1, ((0, 0), (0, fp - f)))
+        w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, fp - f), (0, fp - f)))
+        w3 = jnp.pad(w3, ((0, fp - f), (0, 0)))
+        s1, b1, s2, b2 = (jnp.pad(v, (0, fp - f)) for v in (s1, b1, s2, b2))
+        f = fp
+
+    rows = tune["rows"] or _pick_rows(h, w, max(c, c_out), t)
     n_tiles = h // rows
     x5 = x.reshape(b, t, h, w, c)
 
     def vec(v, n):
-        return v.reshape(1, n).astype(jnp.float32)
+        return jnp.asarray(v).reshape(1, n).astype(jnp.float32)
 
     halo = n_tiles > 1
     grid = (b, n_tiles) if halo else (b,)
@@ -253,7 +298,8 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
                      vec(sp, c_out), vec(bp, c_out)]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, fold=fold, halo=halo, proj=proj),
+        functools.partial(_kernel, fold=fold, halo=halo, proj=proj,
+                          conv1_mode=tune["conv1_mode"]),
         out_shape=jax.ShapeDtypeStruct((b, t, h, w, c_out), x.dtype),
         grid=grid,
         in_specs=[
@@ -268,6 +314,9 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=(
+                (tune["dimsem"],) * len(grid) if tune["dimsem"] else None
+            ),
         ),
         interpret=jax.default_backend() != "tpu",
     )(

@@ -68,11 +68,12 @@ def _kernel_correction(x_ref, w_ref, *rest, t_count: int, fold: int,
     s_ref/b_ref [1,F] epilogue refs precede o_ref. Any fold alignment.
 
     Base-plus-correction formulation: one full [T*tile, C] @ [C, F] conv,
-    then two small K=fold corrections replacing the shifted folds:
-      y[t] = x[t] @ W
-           + (x[t+1] - x[t])[:, :fold]      @ W[:fold]       (t < T-1)
-           + (x[t-1] - x[t])[:, fold:2fold] @ W[fold:2fold]  (t > 0)
-    1.25x conv FLOPs (vs 3x for a masked concatenated weight)."""
+    then ONE K=2*fold correction dot over the first 2*fold channels, whose
+    temporal diff is lane-selected (lanes [0,fold) read the NEXT frame,
+    lanes [fold,2fold) the PREVIOUS frame; zero at the clip edges):
+      y[t] = x[t] @ W + (select(x[t+1], x[t-1]) - x[t])[:, :2fold] @ W[:2fold]
+    1.25x conv FLOPs, and both folds share a single MXU K chunk whenever
+    2*fold <= 128 (ResNet50 layers 1-2)."""
     if len(rest) == 3:
         s_ref, b_ref, o_ref = rest
     else:
@@ -85,27 +86,19 @@ def _kernel_correction(x_ref, w_ref, *rest, t_count: int, fold: int,
     base = jnp.dot(
         x3.reshape(t * tile, c), w_ref[:],
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype).reshape(t, tile, f_out)
+    )
 
-    def corr(diff, ws):
-        y = jnp.dot(
-            diff.reshape(-1, diff.shape[-1]), ws,
-            preferred_element_type=jnp.float32,
-        )
-        return y.astype(o_ref.dtype).reshape(t, tile, f_out)
+    x2 = x3[:, :, : 2 * fold]
+    z2 = jnp.zeros((1, tile, 2 * fold), x3.dtype)
+    nxt = jnp.concatenate([x2[1:], z2], axis=0)
+    prv = jnp.concatenate([z2, x2[: t - 1]], axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * fold), 2)
+    d = (jnp.where(lane < fold, nxt, prv) - x2).astype(x3.dtype)
+    base += jnp.dot(d.reshape(t * tile, 2 * fold), w_ref[: 2 * fold],
+                    preferred_element_type=jnp.float32)
 
-    # fold 0 at t reads x[t+1] (zero at t=T-1): diff = shifted - current
-    xl = x3[:, :, :fold]
-    zl = jnp.zeros((1, tile, fold), x3.dtype)
-    dl = jnp.concatenate([xl[1:], zl], axis=0) - xl
-    cl = corr(dl, w_ref[:fold])
-    # fold 1 at t reads x[t-1] (zero at t=0)
-    xr = x3[:, :, fold : 2 * fold]
-    zr = jnp.zeros((1, tile, fold), x3.dtype)
-    dr = jnp.concatenate([zr, xr[: t - 1]], axis=0) - xr
-    cr = corr(dr, w_ref[fold : 2 * fold])
-
-    o_ref[0] = _epilogue(base + cl + cr, s_ref, b_ref, relu)
+    y = base.astype(o_ref.dtype).reshape(t, tile, f_out)
+    o_ref[0] = _epilogue(y, s_ref, b_ref, relu)
 
 
 def _kernel_sliced(x_ref, w_ref, *rest, t_count: int, fold: int,
@@ -202,6 +195,7 @@ def _tsm_conv1x1_pallas_fwd(x, kernel, n_segment: int, n_div: int,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=jax.default_backend() != "tpu",
     )(*operands)
