@@ -82,6 +82,64 @@ def test_fused_block_projection(rows, monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+def _xla_s2_ref(x, p):
+    """Torch-semantics stride-2 bottleneck: 3x3 stride on conv2 with
+    padding (1,1); 1x1 stride-2 projection with no padding."""
+    c_in, f = p["w1"].shape
+    c_out = p["w3"].shape[1]
+    conv = lambda y, k, s, pad: jax.lax.conv_general_dilated(
+        y, k, (s, s), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = temporal_shift(x, T)
+    y = jnp.maximum(conv(y, p["w1"].reshape(1, 1, c_in, f), 1, "SAME")
+                    * p["a1"][0] + p["a1"][1], 0)
+    y = jnp.maximum(conv(y, p["w2"], 2, [(1, 1), (1, 1)])
+                    * p["a2"][0] + p["a2"][1], 0)
+    y = conv(y, p["w3"].reshape(1, 1, f, c_out), 1, "SAME") \
+        * p["a3"][0] + p["a3"][1]
+    res = (conv(x, p["wp"].reshape(1, 1, c_in, c_out), 2, "VALID")
+           * p["ap"][0] + p["ap"][1])
+    return jnp.maximum(y + res, 0)
+
+
+@pytest.mark.parametrize("conv1_mode", ["pair", "masked"])
+@pytest.mark.parametrize("rows", [None, 2], ids=["whole", "tiled"])
+def test_fused_block_stride2(rows, conv1_mode):
+    from video_chapter_generation_tpu.ops.tsm_block_pallas import (
+        tsm_bottleneck_s2_pallas)
+
+    rng = np.random.default_rng(2)
+    c_in, f = 16, 8
+    p = _params(rng, c_in, f, 4 * f)
+    x = jnp.asarray(rng.standard_normal((B * T, H, W, c_in)), jnp.float32)
+    ref = _xla_s2_ref(x, p)
+    got = tsm_bottleneck_s2_pallas(
+        x, p["w1"], p["w2"], p["w3"], *p["a1"], *p["a2"], *p["a3"],
+        p["wp"], *p["ap"], T,
+        tuning=dict(rows=rows, conv1_mode=conv1_mode),
+    )
+    assert got.shape == (B * T, H // 2, W // 2, 4 * f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_resnet_fusedall_whole_blocks_match_xla(monkeypatch):
+    """Force the whole-block kernels (interpret mode) through the MODEL
+    wiring off-TPU: stride-1, stride-1+projection, and stride-2 blocks all
+    route through _whole_block under 'fusedall' and must match XLA."""
+    import video_chapter_generation_tpu.models.resnet as rn
+
+    monkeypatch.setattr(rn, "FORCE_WHOLE_BLOCKS", True)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32)
+    m_ref = rn.ResNet(stage_sizes=(1, 2, 1, 1), n_segment=4, tsm_impl="xla")
+    v = jax.jit(lambda: m_ref.init(jax.random.PRNGKey(0), x, train=False))()
+    ref = m_ref.apply(v, x, train=False)
+    m = rn.ResNet(stage_sizes=(1, 2, 1, 1), n_segment=4, tsm_impl="fusedall")
+    got = m.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_resnet_fusedblk_impl_matches_xla():
     """fusedblk falls back off-TPU, but the param tree must stay
     interchangeable: init under one impl, apply under all."""
@@ -90,7 +148,7 @@ def test_resnet_fusedblk_impl_matches_xla():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32)
     outs, v = {}, None
-    for impl in ("xla", "tap3", "fusedblk"):
+    for impl in ("xla", "tap3", "fusedblk", "fusedall"):
         m = ResNet(stage_sizes=(1, 2, 1, 1), n_segment=4, tsm_impl=impl)
         if v is None:
             v = jax.jit(lambda m=m: m.init(jax.random.PRNGKey(0), x,
@@ -99,4 +157,6 @@ def test_resnet_fusedblk_impl_matches_xla():
     np.testing.assert_allclose(np.asarray(outs["tap3"]),
                                np.asarray(outs["xla"]), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(outs["fusedblk"]),
+                               np.asarray(outs["xla"]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs["fusedall"]),
                                np.asarray(outs["xla"]), rtol=1e-4, atol=1e-5)

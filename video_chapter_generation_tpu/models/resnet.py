@@ -37,6 +37,9 @@ STAGE_SIZES = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 # inference impl per stage under tsm_impl="auto" (PERF.md round-2 sweep)
 AUTO_TSM_IMPL = ("fusedblk", "fusedblk", "pallas", "pallas")
 
+# test hook: exercise the whole-block kernels (interpret mode) off-TPU
+FORCE_WHOLE_BLOCKS = False
+
 
 class TSMConv1x1(nn.Module):
     """Fused temporal-shift + 1x1 conv; parameter layout identical to
@@ -159,14 +162,22 @@ class Bottleneck(nn.Module):
         impl = self.tsm_impl
         if not use_ra and self.tsm_impl_train is not None:
             impl = self.tsm_impl_train
-        if impl == "fusedblk":
-            # projection blocks measure FASTER on the pallas-conv1 path
-            # (model-level sweep, PERF.md round 2), so only plain residual
-            # blocks take the whole-block kernel
+        if impl in ("fusedblk", "fusedall"):
+            # "fusedblk": only plain residual blocks take the whole-block
+            # kernel; "fusedall" additionally fuses projection and stride-2
+            # downsample blocks, keeping the whole stage on pallas so no
+            # XLA-conv<->custom-call layout copies appear at block
+            # boundaries (see PERF.md round 2: those copies cost ~21% of
+            # model device time)
             whole = (
                 self.n_segment > 0 and self.fuse_tsm and use_ra
-                and self.stride == 1 and not self.projection
-                and jax.default_backend() == "tpu"
+                and (jax.default_backend() == "tpu" or FORCE_WHOLE_BLOCKS)
+                and (impl == "fusedall"
+                     or (self.stride == 1 and not self.projection))
+                # the stride-2 kernel assumes even input H/W (true for all
+                # real ResNet50 shapes; tiny test variants fall back)
+                and (self.stride == 1
+                     or (x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0))
             )
             if whole:
                 return self._whole_block(x, use_ra)
@@ -211,7 +222,10 @@ class Bottleneck(nn.Module):
         """Inference fast path: the entire bottleneck (shift + conv1 +
         bn/relu + 3x3 + bn/relu + conv3 + bn + residual + relu) in ONE
         Pallas kernel. Parameter tree identical to the standard path."""
-        from ..ops.tsm_block_pallas import tsm_bottleneck_pallas
+        from ..ops.tsm_block_pallas import (
+            tsm_bottleneck_pallas,
+            tsm_bottleneck_s2_pallas,
+        )
 
         f, c = self.features, x.shape[-1]
         w1 = _ConvKernel((1, 1, c, f), name="conv1")().astype(self.dtype)
@@ -227,10 +241,14 @@ class Bottleneck(nn.Module):
         s2, b2 = fold("bn2", f)
         s3, b3 = fold("bn3", 4 * f)
         wp = sp = bp = None
-        if self.projection:  # stride-1 downsample (layer1 block0)
+        if self.projection:
             wp = _ConvKernel((1, 1, c, 4 * f),
                              name="proj_conv")().astype(self.dtype)
             sp, bp = fold("proj_bn", 4 * f)
+        if self.stride == 2:  # downsample block0 of layers 2-4
+            return tsm_bottleneck_s2_pallas(
+                x, w1, w2, w3, s1, b1, s2, b2, s3, b3, wp, sp, bp,
+                self.n_segment, self.n_div)
         return tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
                                      self.n_segment, self.n_div,
                                      wp=wp, sp=sp, bp=bp)

@@ -193,6 +193,152 @@ def _kernel(x_ref, *refs, fold: int, halo: bool, proj: bool,
     o_ref[0] = jnp.maximum(y3 + res, 0.0)
 
 
+def _kernel_s2(x_ref, top_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
+               s2_ref, b2_ref, s3_ref, b3_ref, wp_ref, sp_ref, bp_ref,
+               o_ref, *, fold: int, conv1_mode: str):
+    """Stride-2 projection bottleneck (ResNet v1.5: stride on the 3x3).
+
+    x_ref [1,T,2R,W,C] = the input rows feeding out-rows [jR, jR+R);
+    top_ref [1,T,1,W,C] = input row j*2R-1 (clamped; zeroed at j==0);
+    o_ref [1,T,R,W/2,Cout]. Out row r uses input rows 2r-1, 2r, 2r+1 and
+    out col w uses input cols 2w-1, 2w, 2w+1 (SAME padding, k=3, s=2).
+    The residual is the stride-2 1x1 projection: x at even rows/cols."""
+    t, r2, w, c = (x_ref.shape[1], x_ref.shape[2], x_ref.shape[3],
+                   x_ref.shape[4])
+    r, wo = r2 // 2, w // 2
+    f = w1_ref.shape[1]
+    c_out = o_ref.shape[-1]
+    dt = o_ref.dtype
+
+    x = x_ref[0]
+    c1 = functools.partial(_conv1_shift, w1=w1_ref[:], fold=fold,
+                           s1=s1_ref[0], b1=b1_ref[0], dt=dt,
+                           mode=conv1_mode)
+    j = pl.program_id(1)
+    top_y = jnp.where(j == 0, 0.0, 1.0).astype(dt) * c1(top_ref[0])
+    y1 = jnp.concatenate([top_y, c1(x)], axis=1)  # [T, 2R+1, W, F]
+
+    # width taps: pad one zero col on the left; tap dc reads cols 2w+dc
+    zc = jnp.zeros((t, r2 + 1, 1, f), dt)
+    ypad = jnp.concatenate([zc, y1], axis=2)  # [T, 2R+1, W+1, F]
+    z = jnp.concatenate(
+        [ypad[:, :, dc : dc + 2 * wo - 1 : 2] for dc in range(3)],
+        axis=-1,
+    )  # [T, 2R+1, W/2, 3F]
+    # row taps: out row r reads z rows 2r+dr (dr-major im2col weights)
+    acc = jnp.dot(z[:, 1 : 2 * r : 2].reshape(t * r * wo, 3 * f),
+                  w2_ref[1], preferred_element_type=jnp.float32)
+    acc += jnp.dot(z[:, 0 : 2 * r - 1 : 2].reshape(t * r * wo, 3 * f),
+                   w2_ref[0], preferred_element_type=jnp.float32)
+    acc += jnp.dot(z[:, 2 : 2 * r + 1 : 2].reshape(t * r * wo, 3 * f),
+                   w2_ref[2], preferred_element_type=jnp.float32)
+    y2 = jnp.maximum(acc * s2_ref[0] + b2_ref[0], 0.0).astype(dt)
+
+    y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
+    y3 = (y3 * s3_ref[0] + b3_ref[0]).astype(dt).reshape(t, r, wo, c_out)
+    res = x[:, 0::2, 0::2]  # stride-2 1x1 conv anchors at (0, 0)
+    res = jnp.dot(res.reshape(t * r * wo, c), wp_ref[:],
+                  preferred_element_type=jnp.float32)
+    res = (res * sp_ref[0] + bp_ref[0]).astype(dt).reshape(t, r, wo, c_out)
+    o_ref[0] = jnp.maximum(y3 + res, 0.0)
+
+
+def _pick_rows_s2(h: int, w: int, c: int, c_out: int, t: int) -> int:
+    """Out-row tile size for the stride-2 kernel (body is 2R input rows)."""
+    f = c_out // 4
+    # per OUT row: 2 input rows + half-res output + y1 (2 rows) + z + acc
+    bytes_per_row = t * w * (2 * c * 2 + c_out + 2 * f * 2 + 3 * f + 2 * f)
+    ho = h // 2
+    rows = max(1, (24 * 1024 * 1024) // max(bytes_per_row, 1))
+    if rows >= ho:
+        return ho
+    n_tiles = -(-ho // rows)
+    while ho % n_tiles:
+        n_tiles += 1
+    return ho // n_tiles
+
+
+def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
+                             wp, sp, bp, n_segment: int, n_div: int = 8,
+                             tuning=None):
+    """Fused inference stride-2 downsample bottleneck:
+    x [N*T, H, W, C] -> [N*T, H/2, W/2, Cout] with the stride-2 1x1
+    projection residual (ResNet50 layer2/3/4 block0; v1.5 stride placement
+    on the 3x3). Weight/affine layout as tsm_bottleneck_pallas."""
+    tune = dict(DEFAULT_TUNING)
+    if tuning:
+        tune.update(tuning)
+    nt, h, w, c = x.shape
+    b = nt // n_segment
+    t = n_segment
+    w1 = w1.reshape(c, -1).astype(x.dtype)
+    f = w1.shape[1]
+    w2 = w2.reshape(3, 3, f, f).astype(x.dtype)
+    w3 = w3.reshape(f, -1).astype(x.dtype)
+    c_out = w3.shape[1]
+    fold = c // n_div
+
+    s1, b1, s2, b2 = (jnp.asarray(v).reshape(-1) for v in (s1, b1, s2, b2))
+    if tune["fpad"] and f % 128:
+        fp = -(-f // 128) * 128
+        w1 = jnp.pad(w1, ((0, 0), (0, fp - f)))
+        w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, fp - f), (0, fp - f)))
+        w3 = jnp.pad(w3, ((0, fp - f), (0, 0)))
+        s1, b1, s2, b2 = (jnp.pad(v, (0, fp - f)) for v in (s1, b1, s2, b2))
+        f = fp
+
+    rows = tune["rows"] or _pick_rows_s2(h, w, c, c_out, t)
+    n_tiles = (h // 2) // rows
+    x5 = x.reshape(b, t, h, w, c)
+    grid = (b, n_tiles)
+
+    def vec(v, n):
+        return jnp.asarray(v).reshape(1, n).astype(jnp.float32)
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_s2, fold=fold,
+                          conv1_mode=tune["conv1_mode"]),
+        out_shape=jax.ShapeDtypeStruct((b, t, h // 2, w // 2, c_out),
+                                       x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t, 2 * rows, w, c),
+                         lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1, w, c),
+                         lambda i, j: (i, 0,
+                                       jnp.maximum(j * 2 * rows - 1, 0),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),
+            full((c, f)), full((3, 3 * f, f)), full((f, c_out)),
+            full((1, f)), full((1, f)), full((1, f)), full((1, f)),
+            full((1, c_out)), full((1, c_out)),
+            full((c, c_out)), full((1, c_out)), full((1, c_out)),
+        ],
+        out_specs=pl.BlockSpec((1, t, rows, w // 2, c_out),
+                               lambda i, j: (i, 0, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=(
+                (tune["dimsem"],) * 2 if tune["dimsem"] else None
+            ),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        x5, x5, w1, w2.reshape(3, 3 * f, f), w3,
+        vec(s1, f), vec(b1, f), vec(s2, f), vec(b2, f),
+        vec(s3, c_out), vec(b3, c_out),
+        wp.reshape(c, c_out).astype(x.dtype), vec(sp, c_out),
+        vec(bp, c_out),
+    )
+    return out.reshape(nt, h // 2, w // 2, c_out)
+
+
 def _pick_rows(h: int, w: int, c: int, t: int) -> int:
     """Row-tile size. Prefer the WHOLE image per grid step when its
     working set fits ~40MB of VMEM — the block DMA is then one fully
