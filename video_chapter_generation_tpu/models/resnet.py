@@ -34,8 +34,9 @@ from ..ops.temporal_shift import (
 
 STAGE_SIZES = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 
-# inference impl per stage under tsm_impl="auto" (PERF.md round-2 sweep)
-AUTO_TSM_IMPL = ("fusedblk", "fusedblk", "pallas", "pallas")
+# inference impl per stage under tsm_impl="auto" (PERF.md round-2 profile:
+# an all-pallas trunk removes every XLA-conv<->custom-call layout copy)
+AUTO_TSM_IMPL = ("fusedall", "fusedall", "fusedall", "fusedall")
 
 # test hook: exercise the whole-block kernels (interpret mode) off-TPU
 FORCE_WHOLE_BLOCKS = False

@@ -218,27 +218,40 @@ def _kernel_s2(x_ref, top_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
     top_y = jnp.where(j == 0, 0.0, 1.0).astype(dt) * c1(top_ref[0])
     y1 = jnp.concatenate([top_y, c1(x)], axis=1)  # [T, 2R+1, W, F]
 
-    # width taps: pad one zero col on the left; tap dc reads cols 2w+dc
-    zc = jnp.zeros((t, r2 + 1, 1, f), dt)
-    ypad = jnp.concatenate([zc, y1], axis=2)  # [T, 2R+1, W+1, F]
-    z = jnp.concatenate(
-        [ypad[:, :, dc : dc + 2 * wo - 1 : 2] for dc in range(3)],
-        axis=-1,
-    )  # [T, 2R+1, W/2, 3F]
-    # row taps: out row r reads z rows 2r+dr (dr-major im2col weights)
-    acc = jnp.dot(z[:, 1 : 2 * r : 2].reshape(t * r * wo, 3 * f),
-                  w2_ref[1], preferred_element_type=jnp.float32)
-    acc += jnp.dot(z[:, 0 : 2 * r - 1 : 2].reshape(t * r * wo, 3 * f),
-                   w2_ref[0], preferred_element_type=jnp.float32)
-    acc += jnp.dot(z[:, 2 : 2 * r + 1 : 2].reshape(t * r * wo, 3 * f),
-                   w2_ref[2], preferred_element_type=jnp.float32)
+    # Stride-2 selection rules on Mosaic: no strided slices/gathers, and
+    # sublane->lane "pair" reshapes are only legal FROM a natural layout —
+    # never reshape a pair-merged value again. So: select rows on the
+    # UNTILED axis in 4-D, merge to 2-D from the natural layout, then
+    # pair-merge once ([M, F] -> [M/2, 2F]: lanes [0,F) = even col 2w =
+    # center tap, lanes [F,2F) = odd col 2w+1 = right tap) and feed dots
+    # directly. The left tap (col 2w-1) is the previous pair's right tap:
+    # one sublane shift, zeroed at each image row's first column.
+    y1e = y1[:, : 2 * r].reshape(t, r, 2, w, f)
+    row_taps = (
+        y1e[:, :, 0],  # dr=0: y1 rows 0, 2, ..., 2r-2
+        y1e[:, :, 1],  # dr=1: rows 1, 3, ..., 2r-1
+        jnp.concatenate([y1e[:, 1:, 0], y1[:, 2 * r : 2 * r + 1]], axis=1),
+    )
+    m2 = t * r * wo
+    col0 = (jax.lax.broadcasted_iota(jnp.int32, (m2, 1), 0) % wo) == 0
+    zero_row = jnp.zeros((1, 2 * f), dt)
+    acc = jnp.zeros((m2, f), jnp.float32)
+    for dr in (1, 0, 2):
+        v = row_taps[dr].reshape(t * r * w, f).reshape(m2, 2 * f)
+        vprev = jnp.concatenate([zero_row, v[:-1]], axis=0)
+        tap_l = jnp.where(col0, 0.0, vprev[:, f:]).astype(dt)
+        z2 = jnp.concatenate([tap_l, v], axis=-1)  # [M/2, 3F] = (L, C, R)
+        acc += jnp.dot(z2, w2_ref[dr], preferred_element_type=jnp.float32)
     y2 = jnp.maximum(acc * s2_ref[0] + b2_ref[0], 0.0).astype(dt)
 
     y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
     y3 = (y3 * s3_ref[0] + b3_ref[0]).astype(dt).reshape(t, r, wo, c_out)
-    res = x[:, 0::2, 0::2]  # stride-2 1x1 conv anchors at (0, 0)
-    res = jnp.dot(res.reshape(t * r * wo, c), wp_ref[:],
-                  preferred_element_type=jnp.float32)
+    # stride-2 1x1 projection anchors at (0, 0): even rows via the untiled
+    # split, even cols via the pair merge against a weight whose odd-col
+    # rows are zero (wp_ref is [2C, Cout] with rows [C,2C) zeroed)
+    xe = x.reshape(t, r, 2, w, c)[:, :, 0]
+    xp = xe.reshape(t * r * w, c).reshape(m2, 2 * c)
+    res = jnp.dot(xp, wp_ref[:], preferred_element_type=jnp.float32)
     res = (res * sp_ref[0] + bp_ref[0]).astype(dt).reshape(t, r, wo, c_out)
     o_ref[0] = jnp.maximum(y3 + res, 0.0)
 
@@ -317,7 +330,7 @@ def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
             full((c, f)), full((3, 3 * f, f)), full((f, c_out)),
             full((1, f)), full((1, f)), full((1, f)), full((1, f)),
             full((1, c_out)), full((1, c_out)),
-            full((c, c_out)), full((1, c_out)), full((1, c_out)),
+            full((2 * c, c_out)), full((1, c_out)), full((1, c_out)),
         ],
         out_specs=pl.BlockSpec((1, t, rows, w // 2, c_out),
                                lambda i, j: (i, 0, j, 0, 0),
@@ -333,8 +346,10 @@ def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
         x5, x5, w1, w2.reshape(3, 3 * f, f), w3,
         vec(s1, f), vec(b1, f), vec(s2, f), vec(b2, f),
         vec(s3, c_out), vec(b3, c_out),
-        wp.reshape(c, c_out).astype(x.dtype), vec(sp, c_out),
-        vec(bp, c_out),
+        # [2C, Cout]: odd-col rows zero — the kernel's pair-merged residual
+        # input carries (even col, odd col) in its K dim
+        jnp.pad(wp.reshape(c, c_out).astype(x.dtype), ((0, c), (0, 0))),
+        vec(sp, c_out), vec(bp, c_out),
     )
     return out.reshape(nt, h // 2, w // 2, c_out)
 
