@@ -122,6 +122,42 @@ def test_fused_block_stride2(rows, conv1_mode):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_stem_bn_relu_maxpool_matches_reference():
+    from video_chapter_generation_tpu.ops.stem_pallas import (
+        bn_relu_maxpool_pallas, bn_relu_maxpool_reference)
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((6, 16, 24, 8)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal(8) * 0.5 + 1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    ref = bn_relu_maxpool_reference(x, s, b)
+    got = bn_relu_maxpool_pallas(x, s, b)
+    assert got.shape == (6, 8, 12, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_stem_conv_bn_pool_matches_reference():
+    """Fused stem (s2d im2col conv + bn/relu + phase-unpacked max pool)
+    vs the XLA composition the standard stem path uses."""
+    from video_chapter_generation_tpu.ops.stem_pallas import (
+        bn_relu_maxpool_reference, stem_conv_bn_pool_pallas)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((3, 32, 32, 3)), jnp.float32)
+    w7 = jnp.asarray(rng.standard_normal((7, 7, 3, 64)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.standard_normal(64) * 0.5 + 1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    conv = jax.lax.conv_general_dilated(
+        x, w7, (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = bn_relu_maxpool_reference(conv, s, b)
+    got = stem_conv_bn_pool_pallas(x, w7, s, b)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_resnet_fusedall_whole_blocks_match_xla(monkeypatch):
     """Force the whole-block kernels (interpret mode) through the MODEL
     wiring off-TPU: stride-1, stride-1+projection, and stride-2 blocks all

@@ -269,6 +269,7 @@ class ResNet(nn.Module):
     # Or: one impl string for all stages, or a per-stage 4-tuple.
     tsm_impl: Any = "auto"
     fold_bn_inference: Optional[bool] = None
+    fuse_stem_pool: bool = True  # fused stem bn+relu+maxpool at inference
     stage_sizes: Optional[Sequence[int]] = None  # override blocks-per-stage
     dtype: Any = jnp.float32
 
@@ -290,17 +291,37 @@ class ResNet(nn.Module):
         use_ra = not train and not bn_batch_stats
         y = x
         if from_stage == 0:
-            y = nn.Conv(
-                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                use_bias=False, dtype=self.dtype, name="conv_init",
-            )(y)
-            y = nn.BatchNorm(
-                use_running_average=use_ra, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name="bn_init",
-            )(y)
-            y = nn.relu(y)
-            y = nn.max_pool(y, (3, 3), strides=(2, 2),
-                            padding=[(1, 1), (1, 1)])
+            fuse_stem = (
+                self.fuse_stem_pool and use_ra
+                and (jax.default_backend() == "tpu" or FORCE_WHOLE_BLOCKS)
+                and y.shape[-1] == 3 and y.shape[1] == y.shape[2]
+                and y.shape[1] % 4 == 0
+            )
+            if fuse_stem:
+                # whole stem (7x7/2 conv + bn + relu + 3x3/2 max pool) in
+                # one Pallas kernel: no XLA conv batch-minor layouts, no
+                # reduce-window, no transposes (PERF.md round 2: the XLA
+                # stem tail cost ~10.4ms of 56ms at B=32). Param tree
+                # identical to the standard path.
+                from ..ops.stem_pallas import stem_conv_bn_pool_pallas
+
+                w7 = _ConvKernel((7, 7, 3, 64),
+                                 name="conv_init")().astype(self.dtype)
+                scale, bias, mean, var = _BNParams(64, name="bn_init")()
+                s = scale * jax.lax.rsqrt(var + 1e-5)
+                y = stem_conv_bn_pool_pallas(y, w7, s, bias - mean * s)
+            else:
+                y = nn.Conv(
+                    64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv_init",
+                )(y)
+                y = nn.BatchNorm(
+                    use_running_average=use_ra, momentum=0.9, epsilon=1e-5,
+                    dtype=self.dtype, name="bn_init",
+                )(y)
+                y = nn.relu(y)
+                y = nn.max_pool(y, (3, 3), strides=(2, 2),
+                                padding=[(1, 1), (1, 1)])
 
         sizes = self.stage_sizes or STAGE_SIZES[self.depth]
         for stage, num_blocks in enumerate(sizes):

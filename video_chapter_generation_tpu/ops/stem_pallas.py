@@ -1,0 +1,269 @@
+"""Pallas TPU kernels for the ResNet stem tail: folded-BN affine + ReLU +
+3x3/stride-2 max-pool in one VMEM-resident pass.
+
+Profiling the all-pallas trunk (PERF.md round 2) showed the stem's
+bn/relu/max-pool tail costing ~9.4ms of 57ms at B=32: XLA lowers the
+max-pool to an unfused reduce-window (4.7ms) and inserts a 4.8ms layout
+transpose between the convolution's batch-minor output and the pool. This
+kernel replaces both: one read of the conv output, one write of the pooled
+activation.
+
+Stride-2 window selections follow the Mosaic layout rules worked out for
+the bottleneck kernels (ops/tsm_block_pallas.py): row pairs via an
+untiled-axis split, column pairs via a single natural-layout sublane->lane
+merge, never reshaping a pair-merged value again. Max-pool padding uses 0
+rather than -inf: inputs are post-ReLU so every true window max is >= 0.
+
+Reference semantics: torchvision ResNet stem `maxpool = MaxPool2d(3, 2,
+padding=1)` on `relu(bn1(conv1(x)))` (model/vision/resnet50_tsm.py wraps
+torchvision.resnet50; reference never changes the stem).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, s_ref, b_ref, o_ref):
+    """x_ref [G, H, W, C] (conv output tile), o_ref [G, H/2, W/2, C].
+    Computes relu(x*s + b) then 3x3 stride-2 max pool with SAME padding
+    (pad=1): out (p, q) = max over rows 2p-1+dr, cols 2q-1+dc, dr/dc in
+    0..2 — equivalently rows 2p..2p+2 of the 1-padded input; torch pads
+    with -inf but post-relu 0-padding is equivalent."""
+    g, h, w, c = x_ref.shape
+    ho, wo = h // 2, w // 2
+    x = x_ref[:]
+    y = jnp.maximum(x * s_ref[0] + b_ref[0], 0.0).astype(x.dtype)
+
+    # torch MaxPool2d(3, 2, padding=1): out p reads padded rows
+    # 2p..2p+2 = original rows 2p-1..2p+1
+    zrow = jnp.zeros((g, 1, w, c), y.dtype)
+    yp = jnp.concatenate([zrow, y, zrow], axis=1)  # [G, H+2, W, C]
+    ye = yp[:, : 2 * ho].reshape(g, ho, 2, w, c)
+    r0 = ye[:, :, 0]  # padded rows 0, 2, ... = original 2p-1
+    r1 = ye[:, :, 1]  # original rows 2p
+    r2 = jnp.concatenate([ye[:, 1:, 0], yp[:, 2 * ho : 2 * ho + 1]],
+                         axis=1)  # original rows 2p+1
+    rowmax = jnp.maximum(jnp.maximum(r0, r1), r2)  # [G, ho, W, C]
+
+    # columns: pair-merge W into lanes; out q reads cols 2q-1, 2q, 2q+1.
+    # Mosaic only shape-casts sublane->lane merges when the lane count is a
+    # multiple of 128, so pad C up to a full tile first (zeros are inert:
+    # only lanes [0,c) are ever read back).
+    cp = -(-c // 128) * 128
+    if cp != c:
+        rowmax = jnp.concatenate(
+            [rowmax, jnp.zeros((g, ho, w, cp - c), y.dtype)], axis=-1)
+    v = rowmax.reshape(g, ho, wo, 2 * cp)
+    even = v[..., :c]              # col 2q
+    odd = v[..., cp : cp + c]      # col 2q+1
+    zcol = jnp.zeros((g, ho, 1, c), y.dtype)
+    prev_odd = jnp.concatenate([zcol, v[:, :, : wo - 1, cp : cp + c]],
+                               axis=2)
+    o_ref[:] = jnp.maximum(jnp.maximum(even, odd), prev_odd)
+
+
+def bn_relu_maxpool_pallas(x, scale, bias):
+    """relu(x * scale + bias) -> 3x3/2 max pool (SAME, pad 1).
+
+    x [N, H, W, C] with H, W even; scale/bias [C] (inference-folded BN).
+    Returns [N, H/2, W/2, C]."""
+    n, h, w, c = x.shape
+    g = 4
+    while n % g:
+        g //= 2
+    grid = (n // g,)
+
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h // 2, w // 2, c), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, h // 2, w // 2, c),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("parallel",),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        x,
+        jnp.asarray(scale).reshape(1, c).astype(jnp.float32),
+        jnp.asarray(bias).reshape(1, c).astype(jnp.float32),
+    )
+    return out
+
+
+def _stem_weight_im2col(w7, dtype):
+    """Map the [7,7,3,64] stride-2 conv kernel onto the phase-packed
+    space-to-depth im2col weight [432, 256].
+
+    Input is 4x4 space-to-depth: cell (I, J) holds original pixels
+    (4I+di, 4J+dj), channels laid out ch48 = di*12 + dj*3 + c. The kernel's
+    im2col patch z for output cell (I, J) concatenates the 3x3 cell
+    neighborhood: lane = tap_r*144 + tap_c*48 + ch48. Output packs the 4
+    conv-output phases (2I+pr, 2J+pc): n = (pr*2+pc)*64 + f.
+
+    Conv output pixel (2I+pr, .) reads original rows 2(2I+pr)-3+dr',
+    dr' in 0..6 (SAME pad 3); the patch provides rows 4(I-1+tap_r)+di, so
+    dr' = 4*tap_r + di - 2*pr - 1 (valid iff 0 <= dr' <= 6); same for
+    columns. Invalid combinations are zero."""
+    import numpy as np
+
+    tr, tc, di, dj, c = np.meshgrid(
+        np.arange(3), np.arange(3), np.arange(4), np.arange(4),
+        np.arange(3), indexing="ij")
+    rk = (tr * 144 + tc * 48 + di * 12 + dj * 3 + c).reshape(-1)
+    pr, pc, f = np.meshgrid(
+        np.arange(2), np.arange(2), np.arange(64), indexing="ij")
+    nk = ((pr * 2 + pc) * 64 + f).reshape(-1)
+
+    # build full [432, 256] index arrays by outer-combining row/col factors
+    tr_f = tr.reshape(-1)[:, None]
+    tc_f = tc.reshape(-1)[:, None]
+    di_f = di.reshape(-1)[:, None]
+    dj_f = dj.reshape(-1)[:, None]
+    c_f = c.reshape(-1)[:, None]
+    pr_f = pr.reshape(-1)[None, :]
+    pc_f = pc.reshape(-1)[None, :]
+    f_f = f.reshape(-1)[None, :]
+    DR = 4 * tr_f + di_f - 2 * pr_f - 1  # [432, 256]
+    DC = 4 * tc_f + dj_f - 2 * pc_f - 1
+    valid = (DR >= 0) & (DR <= 6) & (DC >= 0) & (DC <= 6)
+    DRc = np.where(valid, DR, 0)
+    DCc = np.where(valid, DC, 0)
+    C2 = np.broadcast_to(c_f, DR.shape)
+    F2 = np.broadcast_to(f_f, DR.shape)
+
+    w = w7.reshape(7, 7, 3, 64).astype(dtype)
+    out = w[DRc, DCc, C2, F2] * jnp.asarray(valid, dtype)
+    # reorder rows to rk order / cols to nk order (they are already built
+    # in that order since meshgrid is row-major over (tr,tc,di,dj,c))
+    inv_r = np.argsort(rk)
+    inv_n = np.argsort(nk)
+    return out[inv_r][:, inv_n]
+
+
+def _stem_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
+    """x_ref [G, 56, 56, 48] (4x4 space-to-depth frames), w_ref [432, 256]
+    (phase-packed im2col weight), s/b [1, 256] (folded BN, tiled over the
+    4 phases), o_ref [G, 56, 56, 64]: 7x7/2 conv + bn + relu + 3x3/2 max
+    pool, one frame batch per grid step."""
+    g = x_ref.shape[0]
+    n = x_ref.shape[1]
+    x = x_ref[:]
+    dt = o_ref.dtype
+
+    zr = jnp.zeros((g, 1, n, 48), x.dtype)
+    xp = jnp.concatenate([zr, x, zr], axis=1)  # [G, 58, 56, 48]
+    # column taps as shift-by-concat (keeps every operand at sublane
+    # offset 0 — Mosaic cannot concatenate lanes across offset mismatches)
+    zc1 = jnp.zeros((g, n + 2, 1, 48), x.dtype)
+    zc = jnp.concatenate(
+        [
+            jnp.concatenate([zc1, xp[:, :, : n - 1]], axis=2),
+            xp,
+            jnp.concatenate([xp[:, :, 1:], zc1], axis=2),
+        ],
+        axis=-1)  # [G, 58, 56, 144]
+    z = jnp.concatenate(
+        [zc[:, 0:n], zc[:, 1 : n + 1], zc[:, 2 : n + 2]],
+        axis=-1)  # [G, 56, 56, 432]
+    acc = jnp.dot(z.reshape(g * n * n, 432), w_ref[:],
+                  preferred_element_type=jnp.float32)
+    y = jnp.maximum(acc * s_ref[0] + b_ref[0], 0.0).astype(dt)
+    y = y.reshape(g, n, n, 256)  # phases (pr, pc) in 64-lane groups
+
+    # pool(p, q) = max over conv pixels rows 2p-1..2p+1, cols 2q-1..2q+1;
+    # in phase terms: all 4 phases of cell (p, q), row-phase-1 of
+    # (p-1, q), col-phase-1 of (p, q-1), phase (1,1) of (p-1, q-1);
+    # out-of-range cells contribute 0 (inputs are post-relu)
+    # Shift FULL 256-lane tensors (offset-0 operands — Mosaic concat cannot
+    # mix lane/sublane offsets), then slice phase groups out of the shifted
+    # copies; elementwise max across offset slices is supported.
+    zrow = jnp.zeros((g, 1, n, 256), dt)
+    zcol = jnp.zeros((g, n, 1, 256), dt)
+    shift_r = lambda v: jnp.concatenate([zrow, v[:, : n - 1]], axis=1)
+    shift_c = lambda v: jnp.concatenate([zcol, v[:, :, : n - 1]], axis=2)
+    ysr = shift_r(y)
+    ysc = shift_c(y)
+    ysrc = shift_c(ysr)
+    a = jnp.maximum(jnp.maximum(y[..., 0:64], y[..., 64:128]),
+                    jnp.maximum(y[..., 128:192], y[..., 192:256]))
+    b_ = jnp.maximum(ysr[..., 128:192], ysr[..., 192:256])  # row phase 1
+    c_ = jnp.maximum(ysc[..., 64:128], ysc[..., 192:256])   # col phase 1
+    o_ref[:] = jnp.maximum(jnp.maximum(a, b_),
+                           jnp.maximum(c_, ysrc[..., 192:256]))
+
+
+def stem_conv_bn_pool_pallas(x, w7, scale, bias):
+    """Fused ResNet stem: 7x7/2 conv (SAME pad 3) + folded-BN + ReLU +
+    3x3/2 max pool (SAME pad 1), x [N, H, W, 3] -> [N, H/4, W/4, 64].
+
+    H and W must be multiples of 4 (true for the 224x224 hot path). The
+    conv is ONE [M, 432] x [432, 256] matmul per tile on 4x4
+    space-to-depth input with the 4 output phases packed in lanes; the max
+    pool unpacks phases with lane-group maxes and row/col shifts — no
+    XLA convolution or reduce-window is involved, so no batch-minor layout
+    transposes appear at the pallas boundaries."""
+    nt, h, w, c = x.shape
+    assert c == 3 and h % 4 == 0 and w % 4 == 0, (nt, h, w, c)
+    n = h // 4
+    assert w // 4 == n, "stem kernel assumes square frames"
+    s4 = x.reshape(nt, n, 4, n, 4, 3).transpose(0, 1, 3, 2, 4, 5)
+    s4 = s4.reshape(nt, n, n, 48)
+
+    w2 = _stem_weight_im2col(w7, x.dtype)
+    sb = jnp.tile(jnp.asarray(scale).reshape(1, 64), (1, 4))
+    bb = jnp.tile(jnp.asarray(bias).reshape(1, 64), (1, 4))
+
+    g = 4
+    while nt % g:
+        g //= 2
+    grid = (nt // g,)
+    out = pl.pallas_call(
+        _stem_kernel,
+        out_shape=jax.ShapeDtypeStruct((nt, n, n, 64), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, n, n, 48), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((432, 256), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 256), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 256), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, n, n, 64), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("parallel",),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(s4, w2, sb.astype(jnp.float32), bb.astype(jnp.float32))
+    return out
+
+
+def bn_relu_maxpool_reference(x, scale, bias):
+    """Pure-XLA reference (tests + non-TPU fallback): torch-semantics
+    MaxPool2d(3, 2, padding=1) on relu(x*scale+bias)."""
+    y = jnp.maximum(x * scale + bias, 0).astype(x.dtype)
+    return jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    ).astype(x.dtype)
