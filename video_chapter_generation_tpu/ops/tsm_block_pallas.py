@@ -112,7 +112,7 @@ def _conv1_shift(x, w1, fold: int, s1, b1, dt, mode: str):
                             axis=0) - xr,
             w1[fold : 2 * fold],
         )
-    y = jnp.maximum(y * s1 + b1, 0.0).astype(dt)
+    y = jnp.maximum(y.astype(dt) * s1 + b1, 0.0)
     return y.reshape(t, r, w, f)
 
 
@@ -176,17 +176,18 @@ def _kernel(x_ref, *refs, fold: int, halo: bool, proj: bool,
                    preferred_element_type=jnp.float32)
     acc += jnp.dot(z[:, 2 : r + 2].reshape(t * r * w, 3 * f), w2_ref[2],
                    preferred_element_type=jnp.float32)
-    y2 = jnp.maximum(acc * s2_ref[0] + b2_ref[0], 0.0).astype(dt)
+    y2 = jnp.maximum(acc.astype(dt) * s2_ref[0] + b2_ref[0], 0.0)
 
     y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
-    # fold BN3 in f32, then residual-add + relu in the block dtype (bf16):
-    # matches the plain bf16 model's block-boundary precision while keeping
-    # the VMEM working set small enough for whole-sample blocks
-    y3 = (y3 * s3_ref[0] + b3_ref[0]).astype(dt).reshape(t, r, w, c_out)
+    # cast the f32 accumulator ONCE, then fold BN3 / residual / relu in the
+    # block dtype: epilogue passes over the wide [M, 4F] tensor were the
+    # dominant VPU cost at f32 width (matches the plain bf16 model's
+    # block-boundary precision)
+    y3 = (y3.astype(dt) * s3_ref[0] + b3_ref[0]).reshape(t, r, w, c_out)
     if proj:
         res = jnp.dot(x.reshape(t * r * w, c), wp_ref[:],
                       preferred_element_type=jnp.float32)
-        res = ((res * sp_ref[0] + bp_ref[0]).astype(dt)
+        res = ((res.astype(dt) * sp_ref[0] + bp_ref[0])
                .reshape(t, r, w, c_out))
     else:
         res = x
@@ -242,17 +243,18 @@ def _kernel_s2(x_ref, top_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
         tap_l = jnp.where(col0, 0.0, vprev[:, f:]).astype(dt)
         z2 = jnp.concatenate([tap_l, v], axis=-1)  # [M/2, 3F] = (L, C, R)
         acc += jnp.dot(z2, w2_ref[dr], preferred_element_type=jnp.float32)
-    y2 = jnp.maximum(acc * s2_ref[0] + b2_ref[0], 0.0).astype(dt)
+    y2 = jnp.maximum(acc.astype(dt) * s2_ref[0] + b2_ref[0], 0.0)
 
     y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
-    y3 = (y3 * s3_ref[0] + b3_ref[0]).astype(dt).reshape(t, r, wo, c_out)
+    y3 = (y3.astype(dt) * s3_ref[0] + b3_ref[0]).reshape(t, r, wo, c_out)
     # stride-2 1x1 projection anchors at (0, 0): even rows via the untiled
-    # split, even cols via the pair merge against a weight whose odd-col
-    # rows are zero (wp_ref is [2C, Cout] with rows [C,2C) zeroed)
+    # split, even cols as the leading lane group of the 2-D pair merge
+    # (offset-0 lane slice — feeds the dot without reshaping the merged
+    # value, so no pad-to-2C FLOP doubling)
     xe = x.reshape(t, r, 2, w, c)[:, :, 0]
-    xp = xe.reshape(t * r * w, c).reshape(m2, 2 * c)
+    xp = xe.reshape(t * r * w, c).reshape(m2, 2 * c)[:, :c]
     res = jnp.dot(xp, wp_ref[:], preferred_element_type=jnp.float32)
-    res = (res * sp_ref[0] + bp_ref[0]).astype(dt).reshape(t, r, wo, c_out)
+    res = (res.astype(dt) * sp_ref[0] + bp_ref[0]).reshape(t, r, wo, c_out)
     o_ref[0] = jnp.maximum(y3 + res, 0.0)
 
 
@@ -306,7 +308,7 @@ def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
     grid = (b, n_tiles)
 
     def vec(v, n):
-        return jnp.asarray(v).reshape(1, n).astype(jnp.float32)
+        return jnp.asarray(v).reshape(1, n).astype(x.dtype)
 
     full = lambda shape: pl.BlockSpec(
         shape, lambda i, j: tuple(0 for _ in shape),
@@ -330,7 +332,7 @@ def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
             full((c, f)), full((3, 3 * f, f)), full((f, c_out)),
             full((1, f)), full((1, f)), full((1, f)), full((1, f)),
             full((1, c_out)), full((1, c_out)),
-            full((2 * c, c_out)), full((1, c_out)), full((1, c_out)),
+            full((c, c_out)), full((1, c_out)), full((1, c_out)),
         ],
         out_specs=pl.BlockSpec((1, t, rows, w // 2, c_out),
                                lambda i, j: (i, 0, j, 0, 0),
@@ -346,9 +348,7 @@ def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
         x5, x5, w1, w2.reshape(3, 3 * f, f), w3,
         vec(s1, f), vec(b1, f), vec(s2, f), vec(b2, f),
         vec(s3, c_out), vec(b3, c_out),
-        # [2C, Cout]: odd-col rows zero — the kernel's pair-merged residual
-        # input carries (even col, odd col) in its K dim
-        jnp.pad(wp.reshape(c, c_out).astype(x.dtype), ((0, c), (0, 0))),
+        wp.reshape(c, c_out).astype(x.dtype),
         vec(sp, c_out), vec(bp, c_out),
     )
     return out.reshape(nt, h // 2, w // 2, c_out)
@@ -413,7 +413,7 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
     x5 = x.reshape(b, t, h, w, c)
 
     def vec(v, n):
-        return jnp.asarray(v).reshape(1, n).astype(jnp.float32)
+        return jnp.asarray(v).reshape(1, n).astype(x.dtype)
 
     halo = n_tiles > 1
     grid = (b, n_tiles) if halo else (b,)
