@@ -26,7 +26,6 @@ def main():
     import jax.numpy as jnp
 
     from video_chapter_generation_tpu.models.resnet import ResNet
-    from video_chapter_generation_tpu.ops.preprocess import normalize_frames
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
@@ -34,26 +33,29 @@ def main():
     else:  # smoke mode off-TPU
         B, T, HW, ITERS = 1, 4, 64, 2
 
-    # tsm_impl="auto" (default) = the round-2 sweep's best inference mix:
-    # whole-bottleneck fused kernels where activations dominate traffic
-    # (layers 1-2), the per-conv1 pallas kernel elsewhere (PERF.md)
-    model = ResNet(depth=50, n_segment=T, dtype=jnp.bfloat16)
+    # tsm_impl="auto" (default) = all-pallas trunk (whole-block fused
+    # kernels everywhere, fused stem); frames arrive as RAW uint8 in 4x4
+    # space-to-depth order — the order the host decoder emits for free —
+    # and the stem kernel normalizes in VMEM (PERF.md round 2)
+    model = ResNet(depth=50, n_segment=T, dtype=jnp.bfloat16,
+                   stem_input="s2d")
     rng = np.random.default_rng(0)
-    stack = jnp.asarray(
-        rng.integers(0, 256, size=(2, B * T, HW, HW, 3), dtype=np.uint8)
-    )
+    n4 = HW // 4
+    u8 = rng.integers(0, 256, size=(2, B * T, HW, HW, 3), dtype=np.uint8)
+    s2d = (u8.reshape(2, B * T, n4, 4, n4, 4, 3)
+           .transpose(0, 1, 2, 4, 3, 5, 6)
+           .reshape(2, B * T, n4, n4, 48))
+    stack = jnp.asarray(s2d)
 
-    x0 = normalize_frames(stack[0], out_dtype=jnp.bfloat16)
     variables = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0), x0, train=False)
+        lambda: model.init(jax.random.PRNGKey(0), stack[0], train=False)
     )()
 
     @jax.jit
     def run(v, stack):
         def body(k, acc):
-            u8 = jax.lax.dynamic_index_in_dim(stack, k % 2, 0,
-                                              keepdims=False)
-            x = normalize_frames(u8, out_dtype=jnp.bfloat16)
+            x = jax.lax.dynamic_index_in_dim(stack, k % 2, 0,
+                                             keepdims=False)
             out = model.apply(v, x, train=False)
             # data-dependent accumulation so no iteration can be elided
             return acc + jnp.sum(out) * (1.0 + 1e-6 * k)

@@ -158,6 +158,55 @@ def test_stem_conv_bn_pool_matches_reference():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_stem_s2d_u8_matches_normalized_reference():
+    """Raw-uint8 space-to-depth stem input: in-kernel normalize + conv +
+    bn/relu + pool vs normalize_frames -> XLA stem composition."""
+    from video_chapter_generation_tpu.ops.preprocess import normalize_frames
+    from video_chapter_generation_tpu.ops.stem_pallas import (
+        bn_relu_maxpool_reference, stem_s2d_pallas)
+
+    rng = np.random.default_rng(6)
+    u8 = rng.integers(0, 256, size=(3, 32, 32, 3), dtype=np.uint8)
+    w7 = jnp.asarray(rng.standard_normal((7, 7, 3, 64)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.standard_normal(64) * 0.5 + 1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    xn = normalize_frames(jnp.asarray(u8), out_dtype=jnp.float32)
+    conv = jax.lax.conv_general_dilated(
+        xn, w7, (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = bn_relu_maxpool_reference(conv, s, b)
+    s2d = jnp.asarray(
+        u8.reshape(3, 8, 4, 8, 4, 3).transpose(0, 1, 3, 2, 4, 5)
+        .reshape(3, 8, 8, 48))
+    got = stem_s2d_pallas(s2d, w7, s, b, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_resnet_stem_s2d_matches_frames(monkeypatch):
+    """Model-level: stem_input='s2d' with raw uint8 frames equals the
+    standard frames path on the same pixels (both forced through the
+    fused kernels off-TPU)."""
+    import video_chapter_generation_tpu.models.resnet as rn
+    from video_chapter_generation_tpu.ops.preprocess import normalize_frames
+
+    monkeypatch.setattr(rn, "FORCE_WHOLE_BLOCKS", True)
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, size=(8, 32, 32, 3), dtype=np.uint8)
+    xn = normalize_frames(jnp.asarray(u8), out_dtype=jnp.float32)
+    m = rn.ResNet(stage_sizes=(1, 1, 1, 1), n_segment=4, tsm_impl="fusedall")
+    v = jax.jit(lambda: m.init(jax.random.PRNGKey(0), xn, train=False))()
+    ref = m.apply(v, xn, train=False)
+    s2d = jnp.asarray(
+        u8.reshape(8, 8, 4, 8, 4, 3).transpose(0, 1, 3, 2, 4, 5)
+        .reshape(8, 8, 8, 48))
+    m2 = rn.ResNet(stage_sizes=(1, 1, 1, 1), n_segment=4,
+                   tsm_impl="fusedall", stem_input="s2d")
+    got = m2.apply(v, s2d, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_resnet_fusedall_whole_blocks_match_xla(monkeypatch):
     """Force the whole-block kernels (interpret mode) through the MODEL
     wiring off-TPU: stride-1, stride-1+projection, and stride-2 blocks all

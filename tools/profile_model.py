@@ -90,6 +90,8 @@ def main():
     ap.add_argument("--hw", type=int, default=224)
     ap.add_argument("--impl", default="auto")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--s2d", action="store_true",
+                    help="feed raw-u8 space-to-depth frames (hot path)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the trace dir and print its path")
     args = ap.parse_args()
@@ -107,17 +109,28 @@ def main():
         except json.JSONDecodeError:
             pass
     model = ResNet(depth=50, n_segment=args.t, dtype=jnp.bfloat16,
-                   tsm_impl=impl)
+                   tsm_impl=impl,
+                   stem_input="s2d" if args.s2d else "frames")
     rng = np.random.default_rng(0)
-    u8 = jnp.asarray(rng.integers(
-        0, 256, size=(args.b * args.t, args.hw, args.hw, 3), dtype=np.uint8))
-    x0 = normalize_frames(u8, out_dtype=jnp.bfloat16)
+    u8np = rng.integers(
+        0, 256, size=(args.b * args.t, args.hw, args.hw, 3), dtype=np.uint8)
+    if args.s2d:
+        n4 = args.hw // 4
+        u8 = jnp.asarray(
+            u8np.reshape(-1, n4, 4, n4, 4, 3).transpose(0, 1, 3, 2, 4, 5)
+            .reshape(-1, n4, n4, 48))
+    else:
+        u8 = jnp.asarray(u8np)
     variables = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0), x0, train=False))()
+        lambda: model.init(jax.random.PRNGKey(0),
+                           u8 if args.s2d else normalize_frames(
+                               u8, out_dtype=jnp.bfloat16),
+                           train=False))()
 
     @jax.jit
     def run(v, u8):
-        x = normalize_frames(u8, out_dtype=jnp.bfloat16)
+        x = (u8 if args.s2d
+             else normalize_frames(u8, out_dtype=jnp.bfloat16))
         return model.apply(v, x, train=False)
 
     trace_dir = tempfile.mkdtemp(prefix="vcgprof_")

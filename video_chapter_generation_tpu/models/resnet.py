@@ -270,6 +270,12 @@ class ResNet(nn.Module):
     tsm_impl: Any = "auto"
     fold_bn_inference: Optional[bool] = None
     fuse_stem_pool: bool = True  # fused stem bn+relu+maxpool at inference
+    # "frames": x is [N, H, W, 3] (normalized float). "s2d": x is the 4x4
+    # space-to-depth view [N, H/4, W/4, 48] — uint8 RAW pixels (the fused
+    # stem normalizes in VMEM; ops/preprocess.py constants) or normalized
+    # float. Host loaders emit s2d order for free, which removes the
+    # on-device transpose + normalize passes from the hot path (PERF.md).
+    stem_input: str = "frames"
     stage_sizes: Optional[Sequence[int]] = None  # override blocks-per-stage
     dtype: Any = jnp.float32
 
@@ -291,13 +297,35 @@ class ResNet(nn.Module):
         use_ra = not train and not bn_batch_stats
         y = x
         if from_stage == 0:
+            s2d = self.stem_input == "s2d"
             fuse_stem = (
                 self.fuse_stem_pool and use_ra
                 and (jax.default_backend() == "tpu" or FORCE_WHOLE_BLOCKS)
-                and y.shape[-1] == 3 and y.shape[1] == y.shape[2]
-                and y.shape[1] % 4 == 0
+                and y.shape[1] == y.shape[2]
+                and (s2d or (y.shape[-1] == 3 and y.shape[1] % 4 == 0))
             )
-            if fuse_stem:
+            if s2d and not fuse_stem:
+                # fallback (training / off-TPU): undo the space-to-depth
+                # and normalize, then run the standard stem
+                from ..ops.preprocess import _affine_consts
+
+                n_, nsp = y.shape[0], y.shape[1]
+                y = y.reshape(n_, nsp, nsp, 4, 4, 3)
+                y = y.transpose(0, 1, 3, 2, 4, 5)
+                y = y.reshape(n_, 4 * nsp, 4 * nsp, 3)
+                if y.dtype == jnp.uint8:
+                    a3, b3 = _affine_consts(jnp.float32)
+                    y = (y.astype(jnp.float32) * a3 + b3).astype(self.dtype)
+            if fuse_stem and s2d:
+                from ..ops.stem_pallas import stem_s2d_pallas
+
+                w7 = _ConvKernel((7, 7, 3, 64),
+                                 name="conv_init")().astype(self.dtype)
+                scale, bias, mean, var = _BNParams(64, name="bn_init")()
+                s = scale * jax.lax.rsqrt(var + 1e-5)
+                y = stem_s2d_pallas(y, w7, s, bias - mean * s,
+                                    out_dtype=self.dtype)
+            elif fuse_stem:
                 # whole stem (7x7/2 conv + bn + relu + 3x3/2 max pool) in
                 # one Pallas kernel: no XLA conv batch-minor layouts, no
                 # reduce-window, no transposes (PERF.md round 2: the XLA

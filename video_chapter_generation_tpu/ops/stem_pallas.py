@@ -157,15 +157,28 @@ def _stem_weight_im2col(w7, dtype):
     return out[inv_r][:, inv_n]
 
 
-def _stem_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
-    """x_ref [G, 56, 56, 48] (4x4 space-to-depth frames), w_ref [432, 256]
-    (phase-packed im2col weight), s/b [1, 256] (folded BN, tiled over the
-    4 phases), o_ref [G, 56, 56, 64]: 7x7/2 conv + bn + relu + 3x3/2 max
-    pool, one frame batch per grid step."""
+def _stem_kernel(x_ref, *refs):
+    """x_ref [G, 56, 56, 48] (4x4 space-to-depth frames; bf16 normalized,
+    or uint8 raw with in-kernel normalize via extra a/b [1,48] refs),
+    w_ref [432, 256] (phase-packed im2col weight), s/b [1, 256] (folded
+    BN, tiled over the 4 phases), o_ref [G, 56, 56, 64]: 7x7/2 conv + bn
+    + relu + 3x3/2 max pool, one frame batch per grid step."""
+    if len(refs) == 6:
+        a_ref, bin_ref, w_ref, s_ref, b_ref, o_ref = refs
+    else:
+        w_ref, s_ref, b_ref, o_ref = refs
+        a_ref = bin_ref = None
     g = x_ref.shape[0]
     n = x_ref.shape[1]
-    x = x_ref[:]
     dt = o_ref.dtype
+    x = x_ref[:]
+    if a_ref is not None:
+        # raw uint8 frames: normalize on the small s2d tile in VMEM (the
+        # conv's SAME padding applies AFTER normalization, so folding the
+        # affine into the weights would mis-handle edges). Mosaic has no
+        # direct u8->f32 cast; widen through int32.
+        x = (x.astype(jnp.int32).astype(jnp.float32) * a_ref[0]
+             + bin_ref[0]).astype(dt)
 
     zr = jnp.zeros((g, 1, n, 48), x.dtype)
     xp = jnp.concatenate([zr, x, zr], axis=1)  # [G, 58, 56, 48]
@@ -209,7 +222,7 @@ def _stem_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
                            jnp.maximum(c_, ysrc[..., 192:256]))
 
 
-def stem_conv_bn_pool_pallas(x, w7, scale, bias):
+def stem_conv_bn_pool_pallas(x, w7, scale, bias, out_dtype=None):
     """Fused ResNet stem: 7x7/2 conv (SAME pad 3) + folded-BN + ReLU +
     3x3/2 max pool (SAME pad 1), x [N, H, W, 3] -> [N, H/4, W/4, 64].
 
@@ -225,10 +238,39 @@ def stem_conv_bn_pool_pallas(x, w7, scale, bias):
     assert w // 4 == n, "stem kernel assumes square frames"
     s4 = x.reshape(nt, n, 4, n, 4, 3).transpose(0, 1, 3, 2, 4, 5)
     s4 = s4.reshape(nt, n, n, 48)
+    return stem_s2d_pallas(s4, w7, scale, bias, out_dtype=out_dtype
+                           or x.dtype)
 
-    w2 = _stem_weight_im2col(w7, x.dtype)
+
+def stem_s2d_pallas(s4, w7, scale, bias, out_dtype=jnp.bfloat16):
+    """Fused stem on 4x4 space-to-depth input [N, H/4, W/4, 48].
+
+    With uint8 input the frames are RAW pixels: the kernel applies the
+    ImageNet normalize affine in VMEM (ops/preprocess.py semantics) before
+    the conv — the host never materializes normalized frames, never
+    transposes on device, and ships 1 byte/pixel over PCIe/HBM."""
+    nt, n, n2, c48 = s4.shape
+    assert c48 == 48 and n == n2, s4.shape
+    is_u8 = s4.dtype == jnp.uint8
+    dt = out_dtype
+
+    w2 = _stem_weight_im2col(w7, dt)
     sb = jnp.tile(jnp.asarray(scale).reshape(1, 64), (1, 4))
     bb = jnp.tile(jnp.asarray(bias).reshape(1, 64), (1, 4))
+
+    norm_specs, norm_args = [], []
+    if is_u8:
+        from .preprocess import _affine_consts
+
+        a3, b3 = _affine_consts(jnp.float32)
+        norm_specs = [
+            pl.BlockSpec((1, 48), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 48), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        norm_args = [jnp.tile(a3, 16).reshape(1, 48),
+                     jnp.tile(b3, 16).reshape(1, 48)]
 
     g = 4
     while nt % g:
@@ -236,11 +278,12 @@ def stem_conv_bn_pool_pallas(x, w7, scale, bias):
     grid = (nt // g,)
     out = pl.pallas_call(
         _stem_kernel,
-        out_shape=jax.ShapeDtypeStruct((nt, n, n, 64), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((nt, n, n, 64), dt),
         grid=grid,
         in_specs=[
             pl.BlockSpec((g, n, n, 48), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            *norm_specs,
             pl.BlockSpec((432, 256), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 256), lambda i: (0, 0),
@@ -255,7 +298,7 @@ def stem_conv_bn_pool_pallas(x, w7, scale, bias):
             dimension_semantics=("parallel",),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(s4, w2, sb.astype(jnp.float32), bb.astype(jnp.float32))
+    )(s4, *norm_args, w2, sb.astype(dt), bb.astype(dt))
     return out
 
 
