@@ -101,9 +101,10 @@ def _xla_s2_ref(x, p):
     return jnp.maximum(y + res, 0)
 
 
+@pytest.mark.parametrize("s2_mode", ["full", "pair"])
 @pytest.mark.parametrize("conv1_mode", ["pair", "masked"])
 @pytest.mark.parametrize("rows", [None, 2], ids=["whole", "tiled"])
-def test_fused_block_stride2(rows, conv1_mode):
+def test_fused_block_stride2(rows, conv1_mode, s2_mode):
     from video_chapter_generation_tpu.ops.tsm_block_pallas import (
         tsm_bottleneck_s2_pallas)
 
@@ -115,7 +116,7 @@ def test_fused_block_stride2(rows, conv1_mode):
     got = tsm_bottleneck_s2_pallas(
         x, p["w1"], p["w2"], p["w3"], *p["a1"], *p["a2"], *p["a3"],
         p["wp"], *p["ap"], T,
-        tuning=dict(rows=rows, conv1_mode=conv1_mode),
+        tuning=dict(rows=rows, conv1_mode=conv1_mode, s2_mode=s2_mode),
     )
     assert got.shape == (B * T, H // 2, W // 2, 4 * f)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),

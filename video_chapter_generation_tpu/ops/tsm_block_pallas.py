@@ -62,6 +62,14 @@ DEFAULT_TUNING = dict(
     fpad=False,         # pad F to a 128-lane multiple (host side)
     rows=None,          # row-tile override
     dimsem="parallel",  # None | "parallel"
+    # stride-2 conv2 strategy: "pair" subsamples columns BEFORE the 3x3
+    # dots (minimal FLOPs, but every dot input carries a pair-merged
+    # (1,128) layout that Mosaic relayouts); "full" computes conv2 at full
+    # width with natural layouts and subsamples the small y2 instead
+    # (2x conv2 FLOPs, no relayouts). "auto" = full where conv2 is cheap
+    # (F <= 128: ResNet50 layer2) and pair where it dominates (layers 3-4)
+    # — the measured winner per stage (PERF.md round 2).
+    s2_mode="auto",     # "auto" | "full" | "pair"
 )
 
 
@@ -196,7 +204,7 @@ def _kernel(x_ref, *refs, fold: int, halo: bool, proj: bool,
 
 def _kernel_s2(x_ref, top_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
                s2_ref, b2_ref, s3_ref, b3_ref, wp_ref, sp_ref, bp_ref,
-               o_ref, *, fold: int, conv1_mode: str):
+               o_ref, *, fold: int, conv1_mode: str, s2_mode: str):
     """Stride-2 projection bottleneck (ResNet v1.5: stride on the 3x3).
 
     x_ref [1,T,2R,W,C] = the input rows feeding out-rows [jR, jR+R);
@@ -234,18 +242,43 @@ def _kernel_s2(x_ref, top_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
         jnp.concatenate([y1e[:, 1:, 0], y1[:, 2 * r : 2 * r + 1]], axis=1),
     )
     m2 = t * r * wo
-    col0 = (jax.lax.broadcasted_iota(jnp.int32, (m2, 1), 0) % wo) == 0
-    zero_row = jnp.zeros((1, 2 * f), dt)
-    acc = jnp.zeros((m2, f), jnp.float32)
-    for dr in (1, 0, 2):
-        v = row_taps[dr].reshape(t * r * w, f).reshape(m2, 2 * f)
-        vprev = jnp.concatenate([zero_row, v[:-1]], axis=0)
-        tap_l = jnp.where(col0, 0.0, vprev[:, f:]).astype(dt)
-        z2 = jnp.concatenate([tap_l, v], axis=-1)  # [M/2, 3F] = (L, C, R)
-        acc += jnp.dot(z2, w2_ref[dr], preferred_element_type=jnp.float32)
-    y2 = jnp.maximum(acc.astype(dt) * s2_ref[0] + b2_ref[0], 0.0)
-
-    y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
+    if s2_mode == "full":
+        # conv2 at FULL width with natural layouts (s1-kernel-style column
+        # shifts), then subsample even columns from the small y2 via one
+        # 2-D pair merge whose odd lanes are ignored by zero rows of the
+        # [2F, Cout] conv3 weight. 2x conv2 FLOPs, zero relayouts.
+        zc = jnp.zeros((t, r, 1, f), dt)
+        acc = None
+        for dr in (1, 0, 2):
+            y = row_taps[dr]
+            z = jnp.concatenate(
+                [
+                    jnp.concatenate([zc, y[:, :, :-1]], axis=2),
+                    y,
+                    jnp.concatenate([y[:, :, 1:], zc], axis=2),
+                ],
+                axis=-1,
+            )  # [T, R, W, 3F]
+            d = jnp.dot(z.reshape(t * r * w, 3 * f), w2_ref[dr],
+                        preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        y2 = jnp.maximum(acc.astype(dt) * s2_ref[0] + b2_ref[0], 0.0)
+        y2p = y2.reshape(m2, 2 * f)  # lanes [0,F) = even cols
+        y3 = jnp.dot(y2p, w3_ref[:],  # [2F, Cout], odd-col rows zero
+                     preferred_element_type=jnp.float32)
+    else:
+        col0 = (jax.lax.broadcasted_iota(jnp.int32, (m2, 1), 0) % wo) == 0
+        zero_row = jnp.zeros((1, 2 * f), dt)
+        acc = jnp.zeros((m2, f), jnp.float32)
+        for dr in (1, 0, 2):
+            v = row_taps[dr].reshape(t * r * w, f).reshape(m2, 2 * f)
+            vprev = jnp.concatenate([zero_row, v[:-1]], axis=0)
+            tap_l = jnp.where(col0, 0.0, vprev[:, f:]).astype(dt)
+            z2 = jnp.concatenate([tap_l, v], axis=-1)  # [M/2,3F]=(L,C,R)
+            acc += jnp.dot(z2, w2_ref[dr],
+                           preferred_element_type=jnp.float32)
+        y2 = jnp.maximum(acc.astype(dt) * s2_ref[0] + b2_ref[0], 0.0)
+        y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
     y3 = (y3.astype(dt) * s3_ref[0] + b3_ref[0]).reshape(t, r, wo, c_out)
     # stride-2 1x1 projection anchors at (0, 0): even rows via the untiled
     # split, even cols as the leading lane group of the 2-D pair merge
@@ -302,6 +335,12 @@ def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
         s1, b1, s2, b2 = (jnp.pad(v, (0, fp - f)) for v in (s1, b1, s2, b2))
         f = fp
 
+    s2_mode = tune["s2_mode"]
+    if s2_mode == "auto":
+        s2_mode = "full" if f <= 128 else "pair"
+    if s2_mode == "full":
+        # conv3 consumes the pair-merged full-width y2: odd-col K rows zero
+        w3 = jnp.pad(w3, ((0, f), (0, 0)))
     rows = tune["rows"] or _pick_rows_s2(h, w, c, c_out, t)
     n_tiles = (h // 2) // rows
     x5 = x.reshape(b, t, h, w, c)
@@ -316,7 +355,8 @@ def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
 
     out = pl.pallas_call(
         functools.partial(_kernel_s2, fold=fold,
-                          conv1_mode=tune["conv1_mode"]),
+                          conv1_mode=tune["conv1_mode"],
+                          s2_mode=s2_mode),
         out_shape=jax.ShapeDtypeStruct((b, t, h // 2, w // 2, c_out),
                                        x.dtype),
         grid=grid,
@@ -329,7 +369,7 @@ def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
                                        jnp.maximum(j * 2 * rows - 1, 0),
                                        0, 0),
                          memory_space=pltpu.VMEM),
-            full((c, f)), full((3, 3 * f, f)), full((f, c_out)),
+            full((c, f)), full((3, 3 * f, f)), full((w3.shape[0], c_out)),
             full((1, f)), full((1, f)), full((1, f)), full((1, f)),
             full((1, c_out)), full((1, c_out)),
             full((c, c_out)), full((1, c_out)), full((1, c_out)),
