@@ -49,10 +49,11 @@ def _xla_proj_ref(x, p):
     return jnp.maximum(y + res, 0)
 
 
+@pytest.mark.parametrize("flat", [True, False], ids=["flat", "4d"])
 @pytest.mark.parametrize("conv1_mode", ["pair", "fold", "masked"])
 @pytest.mark.parametrize("fpad", [False, True], ids=["nopad", "fpad"])
 @pytest.mark.parametrize("rows", [None, 4], ids=["whole", "tiled"])
-def test_fused_block_matches_reference(rows, fpad, conv1_mode):
+def test_fused_block_matches_reference(rows, fpad, conv1_mode, flat):
     rng = np.random.default_rng(0)
     c = 32
     p = _params(rng, c, c // 4, c)
@@ -60,7 +61,8 @@ def test_fused_block_matches_reference(rows, fpad, conv1_mode):
     args = (x, p["w1"], p["w2"], p["w3"], *p["a1"], *p["a2"], *p["a3"], T)
     ref = tsm_bottleneck_reference(*args)
     got = tsm_bottleneck_pallas(
-        *args, tuning=dict(rows=rows, fpad=fpad, conv1_mode=conv1_mode))
+        *args, tuning=dict(rows=rows, fpad=fpad, conv1_mode=conv1_mode,
+                           flat=flat))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 

@@ -70,6 +70,10 @@ DEFAULT_TUNING = dict(
     # (F <= 128: ResNet50 layer2) and pair where it dominates (layers 3-4)
     # — the measured winner per stage (PERF.md round 2).
     s2_mode="auto",     # "auto" | "full" | "pair"
+    # flat whole-sample [M, C] kernel for stride-1 non-projection blocks
+    # whose sample fits VMEM: shifts-by-constant + iota masks instead of
+    # 4-D reshapes (which relayout whenever W is not a sublane multiple)
+    flat=True,
 )
 
 
@@ -200,6 +204,72 @@ def _kernel(x_ref, *refs, fold: int, halo: bool, proj: bool,
     else:
         res = x
     o_ref[0] = jnp.maximum(y3 + res, 0.0)
+
+
+def _kernel_flat(x_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref, s2_ref,
+                 b2_ref, s3_ref, b3_ref, o_ref, *, fold: int, h: int,
+                 w: int, wt: int):
+    """Whole-sample stride-1 non-projection bottleneck in FLAT [M, C]
+    space (M = T*H*W, one sample per grid step).
+
+    Why flat: at layers 3-4 the image width (14/7) is not a sublane
+    multiple, so every [T,R,W,C] <-> [M,C] reshape around a dot forces a
+    Mosaic relayout of the full tensor. In flat space there are NO
+    reshapes: the 3x3's column taps are shifts by 1, row taps shifts by W,
+    and the temporal shift is a shift by H*W — all realized as offset-0
+    concats, with iota masks zeroing the taps that would leak across an
+    image-row / image / clip boundary (the 2-D zero padding).
+
+    Blocks stay 4-D ([1,T,H,W,C]) with the block width W padded UP to a
+    sublane multiple (wt = true width): Pallas ragged-block handling DMAs
+    only the valid columns and clips stores, the VMEM ref is naturally
+    tiled so the in-kernel flatten is free, and the pad columns (undefined
+    contents) never reach a true output: dots mix only within a pixel's K
+    lanes, the right tap is masked at col wt-1, the left at col 0, and
+    row/temporal shifts map pad columns onto pad columns."""
+    t, c = x_ref.shape[1], x_ref.shape[4]
+    m = t * h * w
+    f = w1_ref.shape[1]
+    dt = o_ref.dtype
+    hw = h * w
+    x = x_ref[0].reshape(m, c)
+
+    # conv1 + temporal-shift correction ("pair" form): frame t+1 / t-1 are
+    # shifts by hw; shift-in zeros at the block ends ARE the clip edges
+    y = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    x2 = x[:, : 2 * fold]
+    zf = jnp.zeros((hw, 2 * fold), x.dtype)
+    nxt = jnp.concatenate([x2[hw:], zf], axis=0)
+    prv = jnp.concatenate([zf, x2[: m - hw]], axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * fold), 1)
+    d = (jnp.where(lane < fold, nxt, prv) - x2).astype(x.dtype)
+    y += jnp.dot(d, w1_ref[: 2 * fold],
+                 preferred_element_type=jnp.float32)
+    y1 = jnp.maximum(y.astype(dt) * s1_ref[0] + b1_ref[0], 0.0)  # [M, F]
+
+    # column taps: shift by 1, zeroed at image-row boundaries
+    colidx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % w
+    z1 = jnp.zeros((1, f), dt)
+    left = jnp.where(colidx == 0, 0.0,
+                     jnp.concatenate([z1, y1[: m - 1]], axis=0)).astype(dt)
+    right = jnp.where(colidx >= wt - 1, 0.0,
+                      jnp.concatenate([y1[1:], z1], axis=0)).astype(dt)
+    zc = jnp.concatenate([left, y1, right], axis=-1)  # [M, 3F]
+    # row taps: shift by w, zeroed at image top/bottom rows
+    rowidx = (jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) // w) % h
+    zw = jnp.zeros((w, 3 * f), dt)
+    top = jnp.where(rowidx == 0, 0.0,
+                    jnp.concatenate([zw, zc[: m - w]], axis=0)).astype(dt)
+    bot = jnp.where(rowidx == h - 1, 0.0,
+                    jnp.concatenate([zc[w:], zw], axis=0)).astype(dt)
+    acc = jnp.dot(zc, w2_ref[1], preferred_element_type=jnp.float32)
+    acc += jnp.dot(top, w2_ref[0], preferred_element_type=jnp.float32)
+    acc += jnp.dot(bot, w2_ref[2], preferred_element_type=jnp.float32)
+    y2 = jnp.maximum(acc.astype(dt) * s2_ref[0] + b2_ref[0], 0.0)
+
+    y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
+    y3 = y3.astype(dt) * s3_ref[0] + b3_ref[0]
+    o_ref[0] = jnp.maximum(y3 + x, 0.0).reshape(t, h, w, c)
 
 
 def _kernel_s2(x_ref, top_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
@@ -457,6 +527,41 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
 
     halo = n_tiles > 1
     grid = (b, n_tiles) if halo else (b,)
+    proj = wp is not None
+
+    if not halo and not proj and tune["flat"]:
+        wp8 = -(-w // 8) * 8  # pad the BLOCK width to a sublane multiple
+        flat_full = lambda shape: pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_kernel_flat, fold=fold, h=h, w=wp8, wt=w),
+            out_shape=jax.ShapeDtypeStruct((b, t, h, w, c_out), x.dtype),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, t, h, wp8, c), lambda i: (i, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                flat_full((c, f)), flat_full((3, 3 * f, f)),
+                flat_full((f, c_out)),
+                flat_full((1, f)), flat_full((1, f)),
+                flat_full((1, f)), flat_full((1, f)),
+                flat_full((1, c_out)), flat_full((1, c_out)),
+            ],
+            out_specs=pl.BlockSpec((1, t, h, wp8, c_out),
+                                   lambda i: (i, 0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+                dimension_semantics=(
+                    (tune["dimsem"],) if tune["dimsem"] else None),
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )(
+            x5, w1, w2.reshape(3, 3 * f, f), w3,
+            vec(s1, f), vec(b1, f), vec(s2, f), vec(b2, f),
+            vec(s3, c_out), vec(b3, c_out),
+        )
+        return out.reshape(nt, h, w, c_out)
 
     if halo:
         idx = lambda i, j: (i, 0, j, 0, 0)
