@@ -279,12 +279,19 @@ def _kernel_s2(x_ref, top_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
 
     x_ref [1,T,2R,W,C] = the input rows feeding out-rows [jR, jR+R);
     top_ref [1,T,1,W,C] = input row j*2R-1 (clamped; zeroed at j==0);
-    o_ref [1,T,R,W/2,Cout]. Out row r uses input rows 2r-1, 2r, 2r+1 and
+    o_ref [1,T,R,Wo,Cout]. Out row r uses input rows 2r-1, 2r, 2r+1 and
     out col w uses input cols 2w-1, 2w, 2w+1 (SAME padding, k=3, s=2).
-    The residual is the stride-2 1x1 projection: x at even rows/cols."""
+    The residual is the stride-2 1x1 projection: x at even rows/cols.
+
+    Block widths may be sublane-padded (ragged blocks): because the TRUE
+    width is even, every tap of a surviving even-anchor output reads true
+    columns only, so pad columns (undefined) never contaminate results;
+    the output block may be wider than W/2 (zero-filled before store,
+    clipped by Pallas)."""
     t, r2, w, c = (x_ref.shape[1], x_ref.shape[2], x_ref.shape[3],
                    x_ref.shape[4])
     r, wo = r2 // 2, w // 2
+    wob = o_ref.shape[3]
     f = w1_ref.shape[1]
     c_out = o_ref.shape[-1]
     dt = o_ref.dtype
@@ -358,7 +365,11 @@ def _kernel_s2(x_ref, top_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
     xp = xe.reshape(t * r * w, c).reshape(m2, 2 * c)[:, :c]
     res = jnp.dot(xp, wp_ref[:], preferred_element_type=jnp.float32)
     res = (res.astype(dt) * sp_ref[0] + bp_ref[0]).reshape(t, r, wo, c_out)
-    o_ref[0] = jnp.maximum(y3 + res, 0.0)
+    out = jnp.maximum(y3 + res, 0.0)
+    if wob > wo:  # out block wider than the computed half-width
+        out = jnp.concatenate(
+            [out, jnp.zeros((t, r, wob - wo, c_out), dt)], axis=2)
+    o_ref[0] = out
 
 
 def _pick_rows_s2(h: int, w: int, c: int, c_out: int, t: int) -> int:
@@ -415,6 +426,8 @@ def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
     n_tiles = (h // 2) // rows
     x5 = x.reshape(b, t, h, w, c)
     grid = (b, n_tiles)
+    wp8 = -(-w // 8) * 8        # sublane-padded ragged block width
+    wob = -(-(w // 2) // 8) * 8  # padded output block width
 
     def vec(v, n):
         return jnp.asarray(v).reshape(1, n).astype(x.dtype)
@@ -431,10 +444,10 @@ def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
                                        x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, t, 2 * rows, w, c),
+            pl.BlockSpec((1, t, 2 * rows, wp8, c),
                          lambda i, j: (i, 0, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, 1, w, c),
+            pl.BlockSpec((1, t, 1, wp8, c),
                          lambda i, j: (i, 0,
                                        jnp.maximum(j * 2 * rows - 1, 0),
                                        0, 0),
@@ -444,7 +457,7 @@ def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
             full((1, c_out)), full((1, c_out)),
             full((c, c_out)), full((1, c_out)), full((1, c_out)),
         ],
-        out_specs=pl.BlockSpec((1, t, rows, w // 2, c_out),
+        out_specs=pl.BlockSpec((1, t, rows, wob, c_out),
                                lambda i, j: (i, 0, j, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
