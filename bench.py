@@ -29,7 +29,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        B, T, HW, ITERS = 32, 16, 224, 10
+        B, T, HW, ITERS = 64, 16, 224, 10
     else:  # smoke mode off-TPU
         B, T, HW, ITERS = 1, 4, 64, 2
 
