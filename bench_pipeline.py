@@ -32,8 +32,6 @@ def main():
         Seq2Seq,
         generate,
     )
-    from video_chapter_generation_tpu.ops.preprocess import normalize_frames
-
     assert jax.default_backend() == "tpu", "run on TPU"
 
     VIDEO_SEC = 300           # 5-minute video
@@ -53,17 +51,19 @@ def main():
     from video_chapter_generation_tpu.models.fusion import ChapterHead
 
     bert = BertModel(BertConfig())
-    resnet = ResNet(depth=50, n_segment=CLIP_FRAMES, dtype=jnp.bfloat16)
+    # frames arrive as raw uint8 in 4x4 space-to-depth order (the native
+    # decoder emits it directly); the fused stem normalizes in VMEM
+    resnet = ResNet(depth=50, n_segment=CLIP_FRAMES, dtype=jnp.bfloat16,
+                    stem_input="s2d")
     head = ChapterHead(segment_size=CLIP_FRAMES, hidden_size=128,
                        head_type="mlp")
     rng = np.random.default_rng(0)
     img0 = jnp.asarray(rng.integers(0, 256,
-                                    (SCORE_BATCH, CLIP_FRAMES, 224, 224, 3),
+                                    (SCORE_BATCH, CLIP_FRAMES, 56, 56, 48),
                                     dtype=np.uint8))
     ids0 = jnp.ones((SCORE_BATCH, TEXT_LEN), jnp.int32)
     t0 = time.time()
-    flat0 = normalize_frames(img0, out_dtype=jnp.bfloat16).reshape(
-        -1, 224, 224, 3)
+    flat0 = img0.reshape(-1, 56, 56, 48)
     vis_vars = jax.jit(
         lambda: resnet.init(jax.random.PRNGKey(0), flat0, train=False)
     )()
@@ -82,8 +82,7 @@ def main():
     # into the tunneled remote-compile payload (HTTP 413)
     @jax.jit
     def vision_embed(v, img_u8):
-        x = normalize_frames(img_u8, out_dtype=jnp.bfloat16)
-        flat = x.reshape(-1, 224, 224, 3)
+        flat = img_u8.reshape(-1, 56, 56, 48)
         return resnet.apply(v, flat, train=False).reshape(
             SCORE_BATCH, CLIP_FRAMES, -1)
 
@@ -125,7 +124,7 @@ def main():
     n_batches = -(-N_CLIPS // SCORE_BATCH)
     imgs = [
         jnp.asarray(rng.integers(0, 256,
-                                 (SCORE_BATCH, CLIP_FRAMES, 224, 224, 3),
+                                 (SCORE_BATCH, CLIP_FRAMES, 56, 56, 48),
                                  dtype=np.uint8))
         for _ in range(2)
     ]

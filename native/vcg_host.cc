@@ -200,6 +200,54 @@ int vcg_decode_batch(void* pool, const char** paths, int n, uint8_t* out,
   return failures.load();
 }
 
+// 4x4 space-to-depth reorder of one decoded frame: the TPU stem kernel
+// consumes frames as [hw/4, hw/4, 48] (channel = di*12 + dj*3 + c), and
+// emitting that order at decode time is a fixed index permutation —
+// effectively free inside the thread pool vs a 2.2ms on-device transpose
+// per 512-frame batch (PERF.md round 2).
+static void Space2Depth4(const uint8_t* in, uint8_t* out, int hw) {
+  const int n4 = hw / 4;
+  for (int bi = 0; bi < n4; ++bi) {
+    for (int di = 0; di < 4; ++di) {
+      const uint8_t* row = in + (static_cast<size_t>(bi) * 4 + di) * hw * 3;
+      uint8_t* orow = out + (static_cast<size_t>(bi) * n4) * 48 + di * 12;
+      for (int bj = 0; bj < n4; ++bj) {
+        std::memcpy(orow + static_cast<size_t>(bj) * 48, row + bj * 12, 12);
+      }
+    }
+  }
+}
+
+// Decode n files concurrently into space-to-depth uint8 [n, hw/4, hw/4, 48]
+// (hw must be a multiple of 4). Returns the number of failed decodes.
+int vcg_decode_batch_s2d(void* pool, const char** paths, int n, uint8_t* out,
+                         int hw) {
+  auto* tp = static_cast<ThreadPool*>(pool);
+  std::atomic<int> failures(0);
+  std::atomic<int> done(0);
+  std::mutex mu;
+  std::condition_variable cv;
+  const size_t stride = static_cast<size_t>(hw) * hw * 3;
+  for (int i = 0; i < n; ++i) {
+    tp->Submit([&, i] {
+      std::vector<uint8_t> frame(stride);
+      if (DecodeFile(paths[i], frame.data(), hw) != 0) {
+        failures.fetch_add(1);
+        std::memset(out + stride * i, 0, stride);
+      } else {
+        Space2Depth4(frame.data(), out + stride * i, hw);
+      }
+      if (done.fetch_add(1) + 1 == n) {
+        std::lock_guard<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == n; });
+  return failures.load();
+}
+
 // Fused uint8 -> normalized float32: dst = src/255*  (1/std) - mean/std.
 void vcg_normalize_f32(const uint8_t* src, float* dst, int64_t n_pixels,
                        const float* mean3, const float* std3) {

@@ -77,3 +77,28 @@ def test_install_native_loader(jpegs):
         assert out.shape == (3, 32, 32, 3)
     finally:
         frames.set_native_loader(None)
+
+
+def test_decode_batch_s2d_matches_numpy_reorder(jpegs):
+    from video_chapter_generation_tpu.data.native_loader import (
+        space_to_depth4)
+
+    loader = NativeLoader(2)
+    ref = space_to_depth4(loader.decode_batch(jpegs, hw=64))
+    got = loader.decode_batch_s2d(jpegs, hw=64)
+    assert got.shape == (len(jpegs), 16, 16, 48)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_load_clip_frames_s2d_path(jpegs):
+    from video_chapter_generation_tpu.data import frames
+    from video_chapter_generation_tpu.data.native_loader import (
+        space_to_depth4)
+
+    assert install_native_loader(2)
+    try:
+        got = frames.load_clip_frames(jpegs, hw=64, s2d=True)
+        ref = space_to_depth4(frames.load_clip_frames(jpegs, hw=64))
+        np.testing.assert_array_equal(got, ref)
+    finally:
+        frames.set_native_loader(None)

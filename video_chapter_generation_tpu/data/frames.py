@@ -47,8 +47,18 @@ def load_frame(path: str, hw: int = FRAME_HW) -> np.ndarray:
 
 
 def load_clip_frames(paths: Sequence[str], hw: int = FRAME_HW,
-                     cache: Optional["FrameCache"] = None) -> np.ndarray:
-    """Decode a clip's frames -> uint8 [T, hw, hw, 3]."""
+                     cache: Optional["FrameCache"] = None,
+                     s2d: bool = False) -> np.ndarray:
+    """Decode a clip's frames -> uint8 [T, hw, hw, 3]; with s2d=True, the
+    4x4 space-to-depth view [T, hw/4, hw/4, 48] the fused TPU stem
+    consumes (emitted directly by the native decoder when built)."""
+    if s2d:
+        from .native_loader import space_to_depth4
+
+        if (_native_loader is not None and cache is None
+                and hasattr(_native_loader, "s2d")):
+            return _native_loader.s2d(list(paths), hw)
+        return space_to_depth4(load_clip_frames(paths, hw, cache))
     if _native_loader is not None and cache is None:
         return _native_loader(list(paths), hw)
     out = np.empty((len(paths), hw, hw, 3), np.uint8)
