@@ -129,6 +129,9 @@ def main():
 
     @jax.jit
     def run(v, u8):
+        # note: XLA insists on a batch-minor layout for the u8 input and
+        # pays a ~1.3ms copy into the pallas stem's default layout; a flat
+        # 2-D param does not avoid it (layout assignment re-copies)
         x = (u8 if args.s2d
              else normalize_frames(u8, out_dtype=jnp.bfloat16))
         return model.apply(v, x, train=False)
