@@ -74,6 +74,11 @@ DEFAULT_TUNING = dict(
     # whose sample fits VMEM: shifts-by-constant + iota masks instead of
     # 4-D reshapes (which relayout whenever W is not a sublane multiple)
     flat=True,
+    # samples per flat grid step (None = auto by VMEM budget): deeper
+    # layers' samples are tiny (3-6MB) and per-step overhead dominates;
+    # batching samples needs only an extra clip-boundary mask on the
+    # temporal-shift taps
+    gblk=None,
 )
 
 
@@ -209,6 +214,8 @@ def _kernel(x_ref, *refs, fold: int, halo: bool, proj: bool,
 def _kernel_flat(x_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref, s2_ref,
                  b2_ref, s3_ref, b3_ref, o_ref, *, fold: int, h: int,
                  w: int, wt: int):
+    """See module docstring; x_ref [G,T,H,W,C] — G whole samples per grid
+    step (temporal taps masked at clip boundaries so samples never mix)."""
     """Whole-sample stride-1 non-projection bottleneck in FLAT [M, C]
     space (M = T*H*W, one sample per grid step).
 
@@ -227,20 +234,25 @@ def _kernel_flat(x_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref, s2_ref,
     contents) never reach a true output: dots mix only within a pixel's K
     lanes, the right tap is masked at col wt-1, the left at col 0, and
     row/temporal shifts map pad columns onto pad columns."""
-    t, c = x_ref.shape[1], x_ref.shape[4]
-    m = t * h * w
+    g, t, c = x_ref.shape[0], x_ref.shape[1], x_ref.shape[4]
+    m = g * t * h * w
     f = w1_ref.shape[1]
     dt = o_ref.dtype
     hw = h * w
-    x = x_ref[0].reshape(m, c)
+    x = x_ref[:].reshape(m, c)
 
     # conv1 + temporal-shift correction ("pair" form): frame t+1 / t-1 are
-    # shifts by hw; shift-in zeros at the block ends ARE the clip edges
+    # shifts by hw, masked at CLIP boundaries (with g > 1 samples per
+    # block, interior boundaries would otherwise leak between samples)
     y = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
     x2 = x[:, : 2 * fold]
     zf = jnp.zeros((hw, 2 * fold), x.dtype)
+    frame = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) // hw
     nxt = jnp.concatenate([x2[hw:], zf], axis=0)
     prv = jnp.concatenate([zf, x2[: m - hw]], axis=0)
+    if g > 1:
+        nxt = jnp.where(frame % t == t - 1, 0.0, nxt).astype(x.dtype)
+        prv = jnp.where(frame % t == 0, 0.0, prv).astype(x.dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * fold), 1)
     d = (jnp.where(lane < fold, nxt, prv) - x2).astype(x.dtype)
     y += jnp.dot(d, w1_ref[: 2 * fold],
@@ -269,7 +281,7 @@ def _kernel_flat(x_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref, s2_ref,
 
     y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
     y3 = y3.astype(dt) * s3_ref[0] + b3_ref[0]
-    o_ref[0] = jnp.maximum(y3 + x, 0.0).reshape(t, h, w, c)
+    o_ref[:] = jnp.maximum(y3 + x, 0.0).reshape(g, t, h, w, c)
 
 
 def _kernel_s2(x_ref, top_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
@@ -544,15 +556,22 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
 
     if not halo and not proj and tune["flat"]:
         wp8 = -(-w // 8) * 8  # pad the BLOCK width to a sublane multiple
+        # gblk > 1 measured SLOWER on v5e even at layer 4 (the clip-
+        # boundary masks and bigger working set outweigh the per-step
+        # amortization) — kept as a knob, default one sample per step
+        gblk = tune["gblk"] or 1
+        while b % gblk:
+            gblk -= 1
         flat_full = lambda shape: pl.BlockSpec(
             shape, lambda i: tuple(0 for _ in shape),
             memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             functools.partial(_kernel_flat, fold=fold, h=h, w=wp8, wt=w),
             out_shape=jax.ShapeDtypeStruct((b, t, h, w, c_out), x.dtype),
-            grid=(b,),
+            grid=(b // gblk,),
             in_specs=[
-                pl.BlockSpec((1, t, h, wp8, c), lambda i: (i, 0, 0, 0, 0),
+                pl.BlockSpec((gblk, t, h, wp8, c),
+                             lambda i: (i, 0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 flat_full((c, f)), flat_full((3, 3 * f, f)),
                 flat_full((f, c_out)),
@@ -560,7 +579,7 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
                 flat_full((1, f)), flat_full((1, f)),
                 flat_full((1, c_out)), flat_full((1, c_out)),
             ],
-            out_specs=pl.BlockSpec((1, t, h, wp8, c_out),
+            out_specs=pl.BlockSpec((gblk, t, h, wp8, c_out),
                                    lambda i: (i, 0, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
