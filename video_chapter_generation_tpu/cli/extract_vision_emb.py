@@ -33,12 +33,20 @@ def main(argv=None):
 
     seg = cfg.data.clip_frame_num
     dtype = jnp.float32 if args.tiny else jnp.bfloat16
+    # hot path on TPU: frames flow as raw uint8 in space-to-depth order
+    # (native decoder emits it; fused stem normalizes in VMEM) — the
+    # measured 11.9k frames/s/chip configuration (PERF.md round 2)
+    s2d = jax.default_backend() == "tpu" and not args.tiny
     model = Resnet50TSM(
         segments_size=seg, dtype=dtype,
+        stem_input="s2d" if s2d else "frames",
         stage_sizes=(1, 1, 1, 1) if args.tiny else None,
     )
     hw = 64 if args.tiny else 224
-    x0 = jnp.zeros((1, seg, hw, hw, 3), dtype)
+    if s2d:
+        x0 = jnp.zeros((1, seg, hw // 4, hw // 4, 48), jnp.uint8)
+    else:
+        x0 = jnp.zeros((1, seg, hw, hw, 3), dtype)
     variables = jax.jit(
         lambda: model.init(jax.random.PRNGKey(0), x0, train=False)
     )()
@@ -46,7 +54,7 @@ def main(argv=None):
 
     count = 0
     for _clip, _emb in extract_vision_embs(
-        clips, embed_fn, cfg.data.batch_size, hw, out_dir
+        clips, embed_fn, cfg.data.batch_size, hw, out_dir, s2d=s2d
     ):
         count += 1
     print(f"wrote {count} clip embeddings to {out_dir}")
