@@ -70,7 +70,8 @@ def test_fused_block_matches_reference(rows, fpad, conv1_mode, flat):
 @pytest.mark.parametrize("rows", [None, 4], ids=["whole", "tiled"])
 def test_fused_block_projection(rows, monkeypatch):
     if rows is not None:
-        monkeypatch.setattr(blk, "_pick_rows", lambda h, w, c, t: rows)
+        monkeypatch.setattr(blk, "_pick_rows",
+                            lambda h, w, c, t, es=2: rows)
     rng = np.random.default_rng(1)
     c_in, f = 16, 8
     p = _params(rng, c_in, f, 4 * f)

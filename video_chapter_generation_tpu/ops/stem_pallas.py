@@ -265,7 +265,9 @@ def stem_s2d_pallas(s4, w7, scale, bias, out_dtype=jnp.bfloat16):
         norm_args = [jnp.tile(a3, 16).reshape(1, 48),
                      jnp.tile(b3, 16).reshape(1, 48)]
 
-    g = 4
+    # frames per grid step; the f32 fallback halves it (z + the f32
+    # accumulator dominate the working set)
+    g = 4 if jnp.dtype(dt).itemsize <= 2 else 2
     while nt % g:
         g //= 2
     grid = (nt // g,)

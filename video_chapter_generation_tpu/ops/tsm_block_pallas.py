@@ -328,7 +328,10 @@ def _kernel_s2(x_ref, top_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
     row_taps = (
         y1e[:, :, 0],  # dr=0: y1 rows 0, 2, ..., 2r-2
         y1e[:, :, 1],  # dr=1: rows 1, 3, ..., 2r-1
-        jnp.concatenate([y1e[:, 1:, 0], y1[:, 2 * r : 2 * r + 1]], axis=1),
+        # dr=2: rows 2, 4, ..., 2r (Mosaic rejects zero-size operands, so
+        # single-out-row tiles take the bare slice)
+        (jnp.concatenate([y1e[:, 1:, 0], y1[:, 2 * r : 2 * r + 1]], axis=1)
+         if r > 1 else y1[:, 2 : 3]),
     )
     m2 = t * r * wo
     if s2_mode == "full":
@@ -384,11 +387,15 @@ def _kernel_s2(x_ref, top_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
     o_ref[0] = out
 
 
-def _pick_rows_s2(h: int, w: int, c: int, c_out: int, t: int) -> int:
-    """Out-row tile size for the stride-2 kernel (body is 2R input rows)."""
+def _pick_rows_s2(h: int, w: int, c: int, c_out: int, t: int,
+                  es: int = 2) -> int:
+    """Out-row tile size for the stride-2 kernel (body is 2R input rows);
+    es = activation itemsize (bf16 hot path = 2; f32 doubles budgets)."""
     f = c_out // 4
     # per OUT row: 2 input rows + half-res output + y1 (2 rows) + z + acc
-    bytes_per_row = t * w * (2 * c * 2 + c_out + 2 * f * 2 + 3 * f + 2 * f)
+    bytes_per_row = t * w * (
+        2 * c * es + c_out * es // 2 + 2 * f * es + 3 * f * es // 2
+        + 2 * f)
     ho = h // 2
     rows = max(1, (24 * 1024 * 1024) // max(bytes_per_row, 1))
     if rows >= ho:
@@ -434,7 +441,8 @@ def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
     if s2_mode == "full":
         # conv3 consumes the pair-merged full-width y2: odd-col K rows zero
         w3 = jnp.pad(w3, ((0, f), (0, 0)))
-    rows = tune["rows"] or _pick_rows_s2(h, w, c, c_out, t)
+    rows = tune["rows"] or _pick_rows_s2(h, w, c, c_out, t,
+                                          x.dtype.itemsize)
     n_tiles = (h // 2) // rows
     x5 = x.reshape(b, t, h, w, c)
     grid = (b, n_tiles)
@@ -489,14 +497,15 @@ def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
     return out.reshape(nt, h // 2, w // 2, c_out)
 
 
-def _pick_rows(h: int, w: int, c: int, t: int) -> int:
+def _pick_rows(h: int, w: int, c: int, t: int, es: int = 2) -> int:
     """Row-tile size. Prefer the WHOLE image per grid step when its
     working set fits ~40MB of VMEM — the block DMA is then one fully
     contiguous chunk, which is what gets Pallas near the HBM roofline;
     otherwise split into equal halo tiles of ~14MB (x + out + y1 + im2col
-    + f32 accumulators, x/out doubled by pipelining)."""
+    + f32 accumulators, x/out doubled by pipelining). es = activation
+    itemsize (2 on the bf16 hot path; f32 halves the feasible tiles)."""
     f = c // 4
-    bytes_per_row = t * w * (2 * c * 2 + f * 2 + f * 4 + f * 2)
+    bytes_per_row = t * w * (2 * c * es + f * es + f * 4 + f * es)
     if bytes_per_row * h <= 40 * 1024 * 1024:
         return h
     rows = max(1, (14 * 1024 * 1024) // max(bytes_per_row, 1))
@@ -543,7 +552,8 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
         s1, b1, s2, b2 = (jnp.pad(v, (0, fp - f)) for v in (s1, b1, s2, b2))
         f = fp
 
-    rows = tune["rows"] or _pick_rows(h, w, max(c, c_out), t)
+    rows = tune["rows"] or _pick_rows(h, w, max(c, c_out), t,
+                                      x.dtype.itemsize)
     n_tiles = h // rows
     x5 = x.reshape(b, t, h, w, c)
 
@@ -554,7 +564,11 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
     grid = (b, n_tiles) if halo else (b,)
     proj = wp is not None
 
-    if not halo and not proj and tune["flat"]:
+    flat_fits = (  # flat holds a whole padded sample + intermediates
+        t * h * (-(-w // 8) * 8) * max(c, c_out) * x.dtype.itemsize * 7
+        <= 100 * 1024 * 1024
+    )
+    if not halo and not proj and tune["flat"] and flat_fits:
         wp8 = -(-w // 8) * 8  # pad the BLOCK width to a sublane multiple
         # gblk > 1 measured SLOWER on v5e even at layer 4 (the clip-
         # boundary masks and bigger working set outweigh the per-step
