@@ -508,7 +508,7 @@ def _pick_rows(h: int, w: int, c: int, t: int, es: int = 2) -> int:
     bytes_per_row = t * w * (2 * c * es + f * es + f * 4 + f * es)
     if bytes_per_row * h <= 40 * 1024 * 1024:
         return h
-    rows = max(1, (14 * 1024 * 1024) // max(bytes_per_row, 1))
+    rows = max(1, (26 * 1024 * 1024) // max(bytes_per_row, 1))
     n_tiles = -(-h // rows)  # ceil
     while h % n_tiles:
         n_tiles += 1
