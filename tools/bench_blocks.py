@@ -2,10 +2,14 @@
 
 Chains ITERS applications of one bottleneck block (output fed back as the
 next input, so no iteration can be elided) inside an on-device fori_loop,
-and fetches a scalar reduction — the only trustworthy timing methodology
-through the axon tunnel (PERF.md "Methodology correction"). Numbers
-OVERSTATE absolute in-model cost by ~40% (feedback serializes grid steps
-across iterations); use for RELATIVE comparisons only.
+and fetches a scalar reduction.
+
+CAVEAT (PERF.md round 2): chained fori_loops add ~3 ms/iteration of
+overhead to PALLAS CUSTOM CALLS specifically (XLA fusions are
+unaffected), so pallas-vs-XLA comparisons here are heavily biased and
+even pallas-vs-pallas deltas are compressed. Use
+tools/profile_model.py's per-HLO device timings for kernel decisions;
+this harness remains only for quick XLA-only comparisons.
 
 Usage:
   python tools/bench_blocks.py --layer 1 --variants plain,fused:fpad=1

@@ -43,6 +43,19 @@ TPU v5e (PERF.md):
 - rows: row-tile override (None = _pick_rows heuristic).
 - dimsem: Mosaic dimension_semantics for the grid ("parallel" marks grid
   steps order-independent, enabling more aggressive pipelining).
+- s2_mode / flat / gblk: see DEFAULT_TUNING below (stride-2 conv2
+  strategy; flat whole-sample kernels; samples per flat grid step).
+
+Layout rules this module is built around (each violation was hit and
+measured/compile-errored on v5e — see PERF.md round 2):
+- [T,R,W,C] <-> [M,C] reshapes are free only when W % 8 == 0; BLOCK
+  widths are therefore padded to sublane multiples (Pallas ragged blocks
+  DMA only valid columns and clip stores).
+- sublane->lane pair merges ([.., 2w, C] -> [.., w, 2C]) are legal only
+  FROM natural layouts at >=128-lane multiples, and pair-merged values
+  must never be reshaped again.
+- tpu.concatenate rejects operands whose sublane/lane offsets differ:
+  shift full offset-0 tensors via concat, then lane-slice.
 """
 
 from __future__ import annotations
