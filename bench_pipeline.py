@@ -25,7 +25,6 @@ def main():
     import jax.numpy as jnp
 
     from video_chapter_generation_tpu.models.bert import BertConfig, BertModel
-    from video_chapter_generation_tpu.models.fusion import TwoStream
     from video_chapter_generation_tpu.models.resnet import ResNet
     from video_chapter_generation_tpu.models.seq2seq import (
         Seq2SeqConfig,

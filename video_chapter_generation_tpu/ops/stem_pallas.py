@@ -21,7 +21,7 @@ torchvision.resnet50; reference never changes the stem).
 
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp

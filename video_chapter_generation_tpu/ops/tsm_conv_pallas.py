@@ -29,13 +29,11 @@ transpose shift distributes the same way), so training works unchanged.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from .temporal_shift import temporal_shift, temporal_shift_conv1x1
+from .temporal_shift import temporal_shift
 
 
 def _pick_tile(hw: int, c: int, f: int) -> int:
