@@ -1,10 +1,11 @@
-"""Pallas DMA-ceiling probe: copy-kernel bandwidth vs XLA, across block
-shapes. Device-true chained fori_loop (y = copy(y)), scalar fetch.
+"""Pallas DMA probe: copy-kernel bandwidth vs XLA, across block shapes.
+Chained fori_loop (y = copy(y)), scalar fetch.
 
-Round-1 PERF.md measured pallas copy kernels at 240-400 GB/s vs ~600 GB/s
-for XLA's own ops on v5e (HBM peak ~820). This probe hunts for the
-configuration that closes the gap: block size, grid arity, dimension
-semantics.
+RESOLVED (PERF.md round 2): the apparent 150-400 GB/s "pallas DMA
+ceiling" this probe measures is an artifact of the chained harness —
+custom calls pay ~3 ms/iteration inside fori_loops while XLA fusions do
+not. A single pallas copy profiled per-HLO streams at 658 GB/s, matching
+XLA. Kept as the reproducer of that pitfall.
 
 Usage: python tools/bench_copy.py
 """

@@ -1,9 +1,12 @@
-"""Manual-DMA probe: can concurrent explicit DMAs beat Mosaic's automatic
-pipeline (~190 GB/s) and approach XLA (~610 GB/s)?
+"""Manual-DMA probe: concurrent explicit HBM->HBM copies from one kernel.
 
 One grid step; x and o stay in HBM (ANY); the kernel issues K async copies
 over row slices and waits for all. K=1 measures a single DMA stream's
 bandwidth; K>1 measures aggregate across engines.
+
+RESOLVED (PERF.md round 2): all K measure ~205 GB/s here because the
+chained fori_loop harness adds ~3 ms/iteration to custom calls; a single
+pallas copy profiled per-HLO streams at 658 GB/s. Kept as a reproducer.
 """
 
 import json
