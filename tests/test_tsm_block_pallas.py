@@ -49,15 +49,18 @@ def _xla_proj_ref(x, p):
     return jnp.maximum(y + res, 0)
 
 
+@pytest.mark.parametrize("width", [W, 12], ids=["w8", "w12"])
 @pytest.mark.parametrize("flat", [True, False], ids=["flat", "4d"])
 @pytest.mark.parametrize("conv1_mode", ["pair", "fold", "masked"])
 @pytest.mark.parametrize("fpad", [False, True], ids=["nopad", "fpad"])
 @pytest.mark.parametrize("rows", [None, 4], ids=["whole", "tiled"])
-def test_fused_block_matches_reference(rows, fpad, conv1_mode, flat):
+def test_fused_block_matches_reference(rows, fpad, conv1_mode, flat, width):
+    # width=12 exercises the sublane-padded ragged-block path (wp8 > w)
+    # that the real L3/L4 shapes (W=14/28) hit on TPU
     rng = np.random.default_rng(0)
     c = 32
     p = _params(rng, c, c // 4, c)
-    x = jnp.asarray(rng.standard_normal((B * T, H, W, c)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B * T, H, width, c)), jnp.float32)
     args = (x, p["w1"], p["w2"], p["w3"], *p["a1"], *p["a2"], *p["a3"], T)
     ref = tsm_bottleneck_reference(*args)
     got = tsm_bottleneck_pallas(
@@ -104,24 +107,28 @@ def _xla_s2_ref(x, p):
     return jnp.maximum(y + res, 0)
 
 
+@pytest.mark.parametrize("width", [W, 12], ids=["w8", "w12"])
 @pytest.mark.parametrize("s2_mode", ["full", "pair"])
 @pytest.mark.parametrize("conv1_mode", ["pair", "masked"])
 @pytest.mark.parametrize("rows", [None, 2], ids=["whole", "tiled"])
-def test_fused_block_stride2(rows, conv1_mode, s2_mode):
+def test_fused_block_stride2(rows, conv1_mode, s2_mode, width):
+    # width=12 exercises the ragged sublane-padded block path (wp8 > w,
+    # wob > wo) incl. the full-mode pad-column zeroing of y1
     from video_chapter_generation_tpu.ops.tsm_block_pallas import (
         tsm_bottleneck_s2_pallas)
 
     rng = np.random.default_rng(2)
     c_in, f = 16, 8
     p = _params(rng, c_in, f, 4 * f)
-    x = jnp.asarray(rng.standard_normal((B * T, H, W, c_in)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B * T, H, width, c_in)),
+                    jnp.float32)
     ref = _xla_s2_ref(x, p)
     got = tsm_bottleneck_s2_pallas(
         x, p["w1"], p["w2"], p["w3"], *p["a1"], *p["a2"], *p["a3"],
         p["wp"], *p["ap"], T,
         tuning=dict(rows=rows, conv1_mode=conv1_mode, s2_mode=s2_mode),
     )
-    assert got.shape == (B * T, H // 2, W // 2, 4 * f)
+    assert got.shape == (B * T, H // 2, width // 2, 4 * f)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 

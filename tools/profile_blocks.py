@@ -20,8 +20,67 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from tools.bench_blocks import build_block_params, make_fn  # noqa: E402
 import tools.profile_model as pm  # noqa: E402
+
+
+def build_block_params(rng, c, f, dtype):
+    import jax.numpy as jnp
+
+    mk = lambda *s: jnp.asarray(
+        rng.standard_normal(s) * (s[-2] if len(s) > 1 else 1) ** -0.5, dtype
+    )
+    aff = lambda n: (jnp.full((n,), 1.0, jnp.float32),
+                     jnp.full((n,), 0.01, jnp.float32))
+    return {
+        "w1": mk(c, f), "w2": mk(3, 3, f, f) * 0.33, "w3": mk(f, c),
+        "a1": aff(f), "a2": aff(f), "a3": aff(c),
+    }
+
+
+def make_fn(variant: str, p, t: int):
+    """Variant grammar: name[:k=v,...], name in {plain, xlashift, fused};
+    fused keys: rows (int), fpad (0/1), conv1 (pair/fold/masked), dimsem
+    (parallel/empty)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_chapter_generation_tpu.ops.tsm_block_pallas import (
+        tsm_bottleneck_pallas, tsm_bottleneck_reference)
+
+    name, _, opts = variant.partition(":")
+    kv = dict(s.split("=", 1) for s in opts.split(",") if s)
+    args_tail = (p["w1"], p["w2"], p["w3"], *p["a1"], *p["a2"], *p["a3"], t)
+
+    if name == "plain":
+        conv = lambda y, k: jax.lax.conv_general_dilated(
+            y, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        c, f = p["w1"].shape
+
+        def fn(x):
+            y = conv(x, p["w1"].reshape(1, 1, c, f))
+            y = jnp.maximum(y * p["a1"][0] + p["a1"][1], 0).astype(x.dtype)
+            y = conv(y, p["w2"])
+            y = jnp.maximum(y * p["a2"][0] + p["a2"][1], 0).astype(x.dtype)
+            y = conv(y, p["w3"].reshape(1, 1, f, c))
+            y = y * p["a3"][0] + p["a3"][1]
+            return jnp.maximum(y + x, 0).astype(x.dtype)
+
+        return fn
+    if name == "xlashift":
+        return lambda x: tsm_bottleneck_reference(x, *args_tail)
+    if name == "fused":
+        tuning = {}
+        if "rows" in kv:
+            tuning["rows"] = int(kv["rows"])
+        if "fpad" in kv:
+            tuning["fpad"] = bool(int(kv["fpad"]))
+        if "conv1" in kv:
+            tuning["conv1_mode"] = kv["conv1"]
+        if "dimsem" in kv:
+            tuning["dimsem"] = kv["dimsem"] or None
+        return lambda x: tsm_bottleneck_pallas(x, *args_tail, tuning=tuning)
+    raise SystemExit(f"unknown variant {name!r}")
 
 
 def main():

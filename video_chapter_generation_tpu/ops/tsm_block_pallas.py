@@ -227,10 +227,9 @@ def _kernel(x_ref, *refs, fold: int, halo: bool, proj: bool,
 def _kernel_flat(x_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref, s2_ref,
                  b2_ref, s3_ref, b3_ref, o_ref, *, fold: int, h: int,
                  w: int, wt: int):
-    """See module docstring; x_ref [G,T,H,W,C] — G whole samples per grid
-    step (temporal taps masked at clip boundaries so samples never mix)."""
     """Whole-sample stride-1 non-projection bottleneck in FLAT [M, C]
-    space (M = T*H*W, one sample per grid step).
+    space (M = G*T*H*W; x_ref [G,T,H,W,C] — G whole samples per grid
+    step, temporal taps masked at clip boundaries so samples never mix).
 
     Why flat: at layers 3-4 the image width (14/7) is not a sublane
     multiple, so every [T,R,W,C] <-> [M,C] reshape around a dot forces a
@@ -299,7 +298,8 @@ def _kernel_flat(x_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref, s2_ref,
 
 def _kernel_s2(x_ref, top_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
                s2_ref, b2_ref, s3_ref, b3_ref, wp_ref, sp_ref, bp_ref,
-               o_ref, *, fold: int, conv1_mode: str, s2_mode: str):
+               o_ref, *, fold: int, conv1_mode: str, s2_mode: str,
+               wt: int):
     """Stride-2 projection bottleneck (ResNet v1.5: stride on the 3x3).
 
     x_ref [1,T,2R,W,C] = the input rows feeding out-rows [jR, jR+R);
@@ -308,11 +308,15 @@ def _kernel_s2(x_ref, top_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
     out col w uses input cols 2w-1, 2w, 2w+1 (SAME padding, k=3, s=2).
     The residual is the stride-2 1x1 projection: x at even rows/cols.
 
-    Block widths may be sublane-padded (ragged blocks): because the TRUE
-    width is even, every tap of a surviving even-anchor output reads true
+    Block widths may be sublane-padded (ragged blocks; wt = TRUE width):
+    in "pair" mode every tap of a surviving even-anchor output reads true
     columns only, so pad columns (undefined) never contaminate results;
-    the output block may be wider than W/2 (zero-filled before store,
-    clipped by Pallas)."""
+    in "full" mode the last true column's right tap WOULD read a pad
+    column (garbage lands in y2 odd lanes that only zero rows of w3
+    cancel — which fails if the pad VMEM holds NaN/Inf), so pad columns
+    of y1 are explicitly zeroed before the conv2 taps. The output block
+    may be wider than W/2 (zero-filled before store, clipped by
+    Pallas)."""
     t, r2, w, c = (x_ref.shape[1], x_ref.shape[2], x_ref.shape[3],
                    x_ref.shape[4])
     r, wo = r2 // 2, w // 2
@@ -328,6 +332,11 @@ def _kernel_s2(x_ref, top_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
     j = pl.program_id(1)
     top_y = jnp.where(j == 0, 0.0, 1.0).astype(dt) * c1(top_ref[0])
     y1 = jnp.concatenate([top_y, c1(x)], axis=1)  # [T, 2R+1, W, F]
+    if s2_mode == "full" and wt < w:
+        # sublane-padded block: zero y1's pad columns so the full-width
+        # conv2 taps never propagate undefined pad VMEM (0*NaN = NaN)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
+        y1 = jnp.where(col < wt, y1, 0.0).astype(dt)
 
     # Stride-2 selection rules on Mosaic: no strided slices/gathers, and
     # sublane->lane "pair" reshapes are only legal FROM a natural layout —
@@ -456,6 +465,8 @@ def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
         w3 = jnp.pad(w3, ((0, f), (0, 0)))
     rows = tune["rows"] or _pick_rows_s2(h, w, c, c_out, t,
                                           x.dtype.itemsize)
+    assert (h // 2) % rows == 0, (
+        f"rows override {rows} must divide output height {h // 2}")
     n_tiles = (h // 2) // rows
     x5 = x.reshape(b, t, h, w, c)
     grid = (b, n_tiles)
@@ -472,7 +483,7 @@ def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
     out = pl.pallas_call(
         functools.partial(_kernel_s2, fold=fold,
                           conv1_mode=tune["conv1_mode"],
-                          s2_mode=s2_mode),
+                          s2_mode=s2_mode, wt=w),
         out_shape=jax.ShapeDtypeStruct((b, t, h // 2, w // 2, c_out),
                                        x.dtype),
         grid=grid,
@@ -567,6 +578,8 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
 
     rows = tune["rows"] or _pick_rows(h, w, max(c, c_out), t,
                                       x.dtype.itemsize)
+    assert h % rows == 0, (
+        f"rows override {rows} must divide image height {h}")
     n_tiles = h // rows
     x5 = x.reshape(b, t, h, w, c)
 
