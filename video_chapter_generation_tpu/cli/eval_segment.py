@@ -80,8 +80,11 @@ def _tokenizer_from_clips(cfg, args):
     return WordPieceTokenizer.build_from_corpus(texts, vocab_size=8000)
 
 
-def build_score_fn(cfg, args, tokenizer):
-    """Construct the jitted scorer from a checkpointed train state."""
+def build_score_fn(cfg, args, tokenizer, mesh=None):
+    """Construct the jitted scorer from a checkpointed train state.
+
+    With `mesh`, the scorer shards its batch over the mesh 'data' axis
+    (pipeline/sharded.py) — multi-chip clip scoring."""
     import jax
 
     from ..core.checkpoint import CheckpointManager
@@ -89,6 +92,11 @@ def build_score_fn(cfg, args, tokenizer):
         make_text_score_fn,
         make_two_stream_score_fn,
         make_window_score_fn,
+    )
+    from ..pipeline.sharded import (
+        make_sharded_text_score_fn,
+        make_sharded_two_stream_score_fn,
+        make_sharded_window_score_fn,
     )
     from ..train.loop import create_train_state
     from ..train.optim import make_optimizer
@@ -120,6 +128,13 @@ def build_score_fn(cfg, args, tokenizer):
         print(f"restored checkpoint at step {int(state.step)}")
     ckpt.close()
 
+    if mesh is not None:
+        if kind == "text":
+            return make_sharded_text_score_fn(task.model, variables, mesh)
+        if kind == "two_stream":
+            return make_sharded_two_stream_score_fn(task.model, variables,
+                                                    mesh)
+        return make_sharded_window_score_fn(task.model, variables, mesh)
     if kind == "text":
         return make_text_score_fn(task.model, variables)
     if kind == "two_stream":

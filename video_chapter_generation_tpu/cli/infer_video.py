@@ -62,13 +62,26 @@ def main(argv=None):
     pipelined = "--pipelined" in argv
     if pipelined:
         argv.remove("--pipelined")
+    # --sharded: shard clip scoring + title decode over ALL local devices'
+    # 'data' mesh axis (pipeline/sharded.py). Combine with multi-process
+    # launches (parallel.dist.initialize) for video-level fan-out.
+    sharded = "--sharded" in argv
+    if sharded:
+        argv.remove("--sharded")
 
     cfg, args = parse_config(argv, "whole-pipeline per-video inference")
     corpus = load_corpus(cfg, "test")
     tokenizer = load_bert_tokenizer(args, corpus)
     title_tokenizer = load_title_tokenizer(args, corpus)
 
-    score_fn = build_score_fn(cfg, args, tokenizer)
+    mesh = None
+    if sharded:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()  # all local devices on the data axis
+        assert cfg.data.batch_size % mesh.shape["data"] == 0, (
+            cfg.data.batch_size, dict(mesh.shape))
+    score_fn = build_score_fn(cfg, args, tokenizer, mesh=mesh)
 
     s2s_cfg = (
         Seq2SeqConfig.tiny(vocab_size=title_tokenizer.vocab_size)
@@ -118,6 +131,11 @@ def main(argv=None):
             )
             return trim_at_eos(gen_ids, s2s_cfg.eos_token_id)
 
+    if mesh is not None:
+        from ..pipeline import shard_title_fn
+
+        title_fn = shard_title_fn(title_fn, mesh)
+
     from ..data.datasets import npy_vision_emb_provider
 
     pipe = ChapterPipeline(
@@ -133,7 +151,14 @@ def main(argv=None):
                              if vision_emb_dir is not None else None),
         vision_emb_dim=emb_dim,
     )
-    results = pipe.run(vids, pipelined=pipelined)
+    from ..parallel import dist
+
+    if dist.process_count() > 1:
+        from ..pipeline import run_videos_distributed
+
+        results = run_videos_distributed(pipe, vids, pipelined=pipelined)
+    else:
+        results = pipe.run(vids, pipelined=pipelined)
     import os
 
     os.makedirs("test_results", exist_ok=True)

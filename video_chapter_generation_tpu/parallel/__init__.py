@@ -17,6 +17,7 @@ from .mesh import (
     make_mesh,
     replicated,
     shard_batch,
+    shard_params_tp,
     shard_params_zero,
     use_mesh,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "make_mesh",
     "replicated",
     "shard_batch",
+    "shard_params_tp",
     "shard_params_zero",
     "use_mesh",
 ]

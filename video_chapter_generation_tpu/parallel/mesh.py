@@ -74,6 +74,29 @@ def shard_params_zero(mesh: Mesh, tree, min_size: int = 2**14):
     return jax.tree_util.tree_map(spec_for, tree)
 
 
+def shard_params_tp(mesh: Mesh, tree, min_size: int = 2**12):
+    """Tensor-parallel sharding spec over the 'model' axis: shard the last
+    axis of every large-enough matrix/stack (Megatron column-parallel for
+    [in, out] kernels; XLA/GSPMD inserts the matching collectives and
+    row-parallel reshards on its own). Falls back to the first shardable
+    axis, then to replication. Returns a pytree of NamedShardings.
+    """
+    nmodel = mesh.shape[MODEL_AXIS]
+
+    def spec_for(x):
+        if (not hasattr(x, "shape") or x.ndim < 2 or x.size < min_size
+                or nmodel == 1):
+            return NamedSharding(mesh, P())
+        for ax in (x.ndim - 1, *range(x.ndim - 1)):
+            if x.shape[ax] % nmodel == 0 and x.shape[ax] >= 2 * nmodel:
+                spec = [None] * x.ndim
+                spec[ax] = MODEL_AXIS
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec_for, tree)
+
+
 @contextmanager
 def use_mesh(mesh: Mesh):
     with mesh:

@@ -7,6 +7,13 @@ from .boundary import (
     make_window_score_fn,
     score_clips,
 )
+from .sharded import (
+    make_sharded_text_score_fn,
+    make_sharded_two_stream_score_fn,
+    make_sharded_window_score_fn,
+    run_videos_distributed,
+    shard_title_fn,
+)
 from .vision_emb import extract_vision_embs, make_vision_embed_fn
 from .whole_video import ChapterPipeline, VideoChapters
 
@@ -14,6 +21,11 @@ __all__ = [
     "make_text_score_fn",
     "make_two_stream_score_fn",
     "make_window_score_fn",
+    "make_sharded_text_score_fn",
+    "make_sharded_two_stream_score_fn",
+    "make_sharded_window_score_fn",
+    "run_videos_distributed",
+    "shard_title_fn",
     "score_clips",
     "extract_vision_embs",
     "make_vision_embed_fn",
