@@ -2,6 +2,7 @@
 extraction."""
 
 from .boundary import (
+    make_packed_two_stream_score_fn,
     make_text_score_fn,
     make_two_stream_score_fn,
     make_window_score_fn,
@@ -15,9 +16,10 @@ from .sharded import (
     shard_title_fn,
 )
 from .vision_emb import extract_vision_embs, make_vision_embed_fn
-from .whole_video import ChapterPipeline, VideoChapters
+from .whole_video import ChapterPipeline, VideoChapters, bucket_title_fn
 
 __all__ = [
+    "make_packed_two_stream_score_fn",
     "make_text_score_fn",
     "make_two_stream_score_fn",
     "make_window_score_fn",
@@ -31,4 +33,5 @@ __all__ = [
     "make_vision_embed_fn",
     "ChapterPipeline",
     "VideoChapters",
+    "bucket_title_fn",
 ]

@@ -121,6 +121,61 @@ def make_two_stream_score_fn(model, variables, normalize=True):
     )
 
 
+def make_packed_two_stream_score_fn(model, variables):
+    """score_fn(batch, frame_pack) for the packed per-video flow
+    (ChapterPipeline(frame_pack=True)): each video's UNIQUE frames go
+    host->device ONCE as a [N, hw/4, hw/4, 48] uint8 s2d pack (clips at
+    stride 4 overlap 4x, so per-clip stacks would move 4x the bytes);
+    clip batches carry [B, T] frame indices and gather on device.
+
+    Staged in three jits (vision embed / text embed / fusion head) with
+    weights as ARGUMENTS — the tunneled remote-compile rejects the
+    combined full-size HLO (HTTP 413), and staging mirrors the production
+    embed->embed->head flow."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.fusion import ChapterHead
+
+    lang, vision = model.lang_model, model.vision_model
+    head = ChapterHead(
+        segment_size=model.segment_size, hidden_size=model.hidden_size,
+        output_size=2, head_type=model.head_type, dtype=model.dtype,
+    )
+    vis_vars = {"params": variables["params"]["vision_model"]}
+    bstats = variables.get("batch_stats", {})
+    if "vision_model" in bstats:
+        vis_vars["batch_stats"] = bstats["vision_model"]
+    lang_vars = {"params": variables["params"]["lang_model"]}
+    head_vars = {"params": variables["params"]["fusion_head"]}
+
+    @jax.jit
+    def vis_fn(v, pack, idx):
+        b, t = idx.shape
+        flat = pack[idx.reshape(-1)]
+        return vision.apply(v, flat, train=False).reshape(b, t, -1)
+
+    @jax.jit
+    def lang_fn(v, ids, mask):
+        _, pooled = lang.apply(v, ids, mask)
+        return pooled
+
+    @jax.jit
+    def head_fn(v, pooled, vis):
+        logits = head.apply(v, pooled.astype(head.dtype),
+                            vis.astype(head.dtype))
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+
+    def score(batch, pack):
+        return head_fn(
+            head_vars,
+            lang_fn(lang_vars, batch["text_ids"], batch["attention_mask"]),
+            vis_fn(vis_vars, pack, batch["frame_idx"]),
+        )
+
+    return score
+
+
 def make_window_score_fn(model, variables, normalize=True):
     """Positive-class probability from TwoStreamWindow on uint8 frames."""
     import jax

@@ -44,7 +44,8 @@ class ChapterPipeline:
                  score_mode: str = "text", fps: int = 1,
                  hw: int = 224, title_tokenizer=None,
                  vision_emb_provider: Optional[Callable] = None,
-                 max_vision_emb: int = 10, vision_emb_dim: int = 2048):
+                 max_vision_emb: int = 10, vision_emb_dim: int = 2048,
+                 frame_pack: bool = False):
         self.corpus = corpus
         self.tokenizer = tokenizer  # boundary (BERT) tokenizer
         self.title_tokenizer = title_tokenizer or tokenizer
@@ -63,6 +64,12 @@ class ChapterPipeline:
         self.score_mode = score_mode
         self.fps = fps
         self.hw = hw
+        # frame_pack=True: each video's UNIQUE frames move host->device
+        # ONCE as an s2d uint8 pack and clip batches gather by index on
+        # device (score_fn takes (batch, pack) —
+        # boundary.make_packed_two_stream_score_fn). Clips at stride 4
+        # overlap 4x, so per-clip stacks would transfer 4x the bytes.
+        self.frame_pack = frame_pack
         self.timer = StepTimer()
 
     # -- stage 1: boundaries ------------------------------------------------
@@ -117,6 +124,11 @@ class ChapterPipeline:
 
     # -- end to end -----------------------------------------------------------
     def run_video(self, vid: str) -> VideoChapters:
+        if self.frame_pack:
+            self.timer.start("video_total")
+            out = self._finish_video(*self._prepare(vid))
+            self.timer.stop("video_total", 1)
+            return out
         self.timer.start("video_total")
         cut_points, clips = self.predict_cut_points(vid)
         titles = self.generate_titles(vid, cut_points)
@@ -146,7 +158,13 @@ class ChapterPipeline:
         """Host-side stage: clip flattening, JPEG decode, tokenization —
         ALL score batches of one video prebuilt, so a producer thread can
         overlap the next video's host work with this video's device
-        compute (two-in-flight, the north-star host->TPU overlap)."""
+        compute (two-in-flight, the north-star host->TPU overlap).
+
+        Returns (vid, clip_infos, batches, frame_pack). With
+        frame_pack=True, the video's UNIQUE frames are decoded once into
+        an s2d uint8 pack (native threaded decoder) and batches carry
+        [B, T] frame indices; otherwise frame_pack is None and batches
+        carry stacked per-clip frames."""
         from ..data.loader import collate
 
         clips = flatten_video_to_clips(
@@ -154,6 +172,8 @@ class ChapterPipeline:
             self.corpus.raw_cut_secs(vid), self.corpus.subtitles(vid),
             self.clip_frame_num, fps=self.fps,
         )
+        if self.frame_pack:
+            return (vid, *self._prepare_packed(clips))
         ds = InferClipDataset(clips, self.tokenizer, self.max_text_len,
                               mode=self.score_mode, hw=self.hw)
         n = len(ds)
@@ -165,18 +185,66 @@ class ChapterPipeline:
             if pad:  # static shapes: repeat the last row, drop its scores
                 items += [items[-1]] * pad
             batches.append((rows, collate(items)))
-        return vid, ds, batches
+        return vid, ds.all_clip_infos, batches, None
 
-    def _finish_video(self, vid: str, ds, batches) -> VideoChapters:
+    def _prepare_packed(self, clips):
+        """Packed host stage: one threaded s2d decode of the video's unique
+        frames + per-clip text encode + [B, T] gather indices."""
+        from ..data.frames import load_clip_frames
+        from ..data.loader import collate
+        from ..data.text_encode import encode_clip_text
+
+        paths: List[str] = []
+        pos: Dict[str, int] = {}
+        for c in clips:
+            for p in c.image_paths:
+                if p not in pos:
+                    pos[p] = len(paths)
+                    paths.append(p)
+        pack = load_clip_frames(paths, self.hw, cache=None, s2d=True)
+
+        items = []
+        for c in clips:
+            ids, mask = encode_clip_text(c.text_clip, self.tokenizer,
+                                         self.max_text_len)
+            items.append({
+                "text_ids": ids,
+                "attention_mask": mask,
+                "frame_idx": np.asarray([pos[p] for p in c.image_paths],
+                                        np.int32),
+            })
+        n = len(items)
+        batches = []
+        for start in range(0, n, self.batch_size):
+            rows = list(range(start, min(start + self.batch_size, n)))
+            chunk = [items[i] for i in rows]
+            pad = self.batch_size - len(rows)
+            if pad:
+                chunk += [chunk[-1]] * pad
+            batches.append((rows, collate(chunk)))
+        return list(clips), batches, pack
+
+    def _finish_video(self, vid: str, infos, batches,
+                      frame_pack=None) -> VideoChapters:
         """Device stages: boundary scoring over prebuilt batches, cut
-        points, title generation."""
-        infos = ds.all_clip_infos
+        points, title generation. With a frame pack, the pack moves
+        host->device ONCE and score_fn gathers clips on device."""
         self.timer.start("device_score")
-        for rows, batch in batches:
-            scores = np.asarray(self.score_fn(batch))
-            for j, i in enumerate(rows):
-                infos[i].pred_score = float(scores[j])
-                infos[i].pred_label = int(scores[j] >= 0.5)
+        if frame_pack is not None:
+            import jax
+
+            pack = jax.device_put(frame_pack)
+            for rows, batch in batches:
+                scores = np.asarray(self.score_fn(batch, pack))
+                for j, i in enumerate(rows):
+                    infos[i].pred_score = float(scores[j])
+                    infos[i].pred_label = int(scores[j] >= 0.5)
+        else:
+            for rows, batch in batches:
+                scores = np.asarray(self.score_fn(batch))
+                for j, i in enumerate(rows):
+                    infos[i].pred_score = float(scores[j])
+                    infos[i].pred_label = int(scores[j] >= 0.5)
         self.timer.stop("device_score", len(infos))
         cut_points = convert_clip_label2cut_point(
             [c.pred_label for c in infos], self.clip_frame_num,
@@ -215,11 +283,38 @@ class ChapterPipeline:
             item = q.get()
             if item is stop:
                 break
-            vid, ds, batches = item
+            vid, infos, batches, pack = item
             self.timer.start("video_total")
-            out[vid] = self._finish_video(vid, ds, batches)
+            out[vid] = self._finish_video(vid, infos, batches, pack)
             self.timer.stop("video_total", 1)
         return out
 
     def videos_per_minute(self) -> float:
         return self.timer.rate("video_total") * 60.0
+
+
+def bucket_title_fn(title_fn: Callable, multiple: int = 8) -> Callable:
+    """Run a title_fn over fixed-size chunks of exactly `multiple` rows
+    (last chunk padded by repeating its final row; pad rows dropped after
+    decode). Predicted cut points make the chapter count data-dependent;
+    chunking means ONE batch shape ever compiles, no matter how many
+    chapters a video produces — a single warmup video covers all later
+    videos."""
+
+    def fn(*arrays):
+        arrays = [np.asarray(a) for a in arrays]
+        n = arrays[0].shape[0]
+        outs = []
+        for start in range(0, n, multiple):
+            chunk = [a[start:start + multiple] for a in arrays]
+            k = chunk[0].shape[0]
+            if k < multiple:
+                chunk = [
+                    np.concatenate([c, np.repeat(c[-1:], multiple - k,
+                                                 axis=0)])
+                    for c in chunk
+                ]
+            outs.append(np.asarray(title_fn(*chunk))[:k])
+        return np.concatenate(outs, axis=0)
+
+    return fn
