@@ -1,0 +1,287 @@
+"""Differential TRAINING-trajectory parity vs the reference's torch stack.
+
+Forward parity (test_convert_reference.py) proves the models compute the
+same function; this proves the OPTIMIZATION matches: the same tiny
+TwoStreamWindow — reference torch modules composed with an HF BERT and a
+torchvision-naming TSM ResNet on one side, our flax model with converted
+weights on the other — trained for several AdamW steps on identical
+batches with the reference recipe (decay/no-decay split via the
+reference's OWN configure_optimizers, two_stream_window.py:358-392;
+grad-norm clip + epoch-based warmup/cosine LR,
+train_video_segment_ddp.py:334-375; BatchNorm running-stat updates).
+Loss curves and post-training parameters must track within float
+tolerance.
+
+Known benign divergence: torch BatchNorm updates running_var with the
+UNBIASED batch variance while flax uses the biased one — an O(1/n)
+difference on batch_stats only (documented in PARITY.md), so running
+stats get a looser tolerance than params.
+
+Dropout is zeroed on both sides (torch: p=0; flax: deterministic=True) —
+trajectory parity needs identical sampling, and dropout RNGs can't be
+aligned across frameworks.
+
+Both sides run in FLOAT64 (torch .double(), jax.experimental.enable_x64):
+the reference recipe's warmup cliff (mult 0.01 -> 0.5 between steps) makes
+the f32 trajectory chaotic — accumulation-order noise of ~1e-7 amplified
+~30x per step swamped any real recipe signal by step 3. In f64 the
+trajectories are deterministic to ~1e-12/step, so the tight tolerances
+below genuinely detect decay-mask / clip / schedule / BN divergences.
+"""
+
+import math
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/reference/video_chapter_generation")
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tests.test_convert_reference import _torchvision_like_resnet
+from video_chapter_generation_tpu.models.bert import BertConfig, BertModel
+from video_chapter_generation_tpu.models.convert_reference import (
+    convert_two_stream_window,
+)
+from video_chapter_generation_tpu.models.fusion import TwoStreamWindow
+from video_chapter_generation_tpu.models.resnet import ResNet
+from video_chapter_generation_tpu.train.objectives import (
+    clip_classification_loss,
+)
+
+B, W, SEG, HW, L, H = 4, 1, 4, 32, 16, 128
+N_STEPS = 4
+LR, WD, BETAS, CLIP = 1e-3, 0.01, (0.9, 0.999), 1.0
+WARMUP_EPOCHS, FINAL_EPOCHS = 2, 4
+
+
+def _ref_lr_mult(epoch: int) -> float:
+    """The reference's epoch-based warmup+cosine multiplier
+    (train_video_segment_ddp.py:345-364)."""
+    if epoch < WARMUP_EPOCHS:
+        return max(epoch / WARMUP_EPOCHS, 1e-2)
+    progress = epoch / FINAL_EPOCHS if epoch < FINAL_EPOCHS else 1.0
+    return max(0.001, 0.5 * (1.0 + math.cos(math.pi * progress)))
+
+
+def _build_reference():
+    import torch.nn as nn
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertModel as HFBertModel
+
+    import model.fusion.two_stream_window as tsw
+    from ops.temporal_shift import TemporalShift
+
+    torch.manual_seed(0)
+
+    class LangWrapper(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.base_model = HFBertModel(HFBertConfig(
+                vocab_size=128, hidden_size=32, num_hidden_layers=2,
+                num_attention_heads=2, intermediate_size=64,
+                max_position_embeddings=64, type_vocab_size=2,
+                hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            ))
+
+        def forward(self, **kw):
+            return self.base_model(**kw)
+
+    class VisionWrapper(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.base_model = _torchvision_like_resnet()
+            for s in range(1, 5):
+                for blk in getattr(self.base_model, f"layer{s}"):
+                    blk.conv1 = TemporalShift(blk.conv1, n_segment=SEG,
+                                              n_div=8)
+
+        def forward(self, x):
+            return self.base_model(x)
+
+    ref = tsw.TwoStream(
+        lang_model=LangWrapper(), vision_model=VisionWrapper(),
+        lang_embed_size=32, vision_embed_size=2048, segment_size=SEG,
+        hidden_size=H, window_size=0,
+    )
+    ref.build_chapter_head(output_size=2, head_type="mlp")
+    # zero every dropout (keep BN in train mode)
+    for m in ref.modules():
+        if isinstance(m, nn.Dropout):
+            m.p = 0.0
+    ref.double()
+
+    # the reference hard-casts position ids with .float() inside its
+    # attention pool (two_stream_window.py:52), which breaks .double()
+    # mode — cast any float input back up at every module boundary
+    def _cast_double(mod, inputs):
+        return tuple(
+            x.double()
+            if torch.is_tensor(x) and x.is_floating_point() else x
+            for x in inputs
+        )
+
+    for m in ref.modules():
+        m.register_forward_pre_hook(_cast_double)
+    ref.train()
+    return ref
+
+
+def _batches():
+    rng = np.random.default_rng(7)
+    out = []
+    for _ in range(N_STEPS):
+        out.append({
+            "img": rng.standard_normal((B, W, SEG, 3, HW, HW)),
+            "ids": rng.integers(0, 128, (B, W, L)).astype(np.int64),
+            "label": rng.integers(0, 2, (B,)).astype(np.int64),
+        })
+    return out
+
+
+def test_training_trajectory_matches_reference():
+    import torch.nn.functional as F
+
+    ref = _build_reference()
+    variables = convert_two_stream_window(ref.state_dict(), window_size=0,
+                                          head_type="mlp")
+    # converted leaves SHARE memory with the torch tensors (.numpy());
+    # torch's in-place optimizer steps would silently mutate them — copy
+    variables = jax.tree_util.tree_map(np.array, variables)
+    ours = TwoStreamWindow(
+        lang_model=BertModel(BertConfig.tiny(vocab_size=128),
+                             dtype=jnp.float64),
+        vision_model=ResNet(stage_sizes=(1, 1, 1, 1), n_segment=SEG,
+                            dtype=jnp.float64),
+        window_size=0, segment_size=SEG, hidden_size=H, head_type="mlp",
+        dtype=jnp.float64,
+    )
+
+    # --- torch side: the reference's own optimizer factory ---
+    train_config = type("C", (), {
+        "weight_decay": WD, "learning_rate": LR, "betas": BETAS,
+    })
+    opt = ref.configure_optimizers(train_config)
+
+    clip_info = {
+        "clip_start_frame": torch.zeros((B, W), dtype=torch.long),
+        "total_frames": torch.full((B,), 100, dtype=torch.long),
+        "target_clip_idx": torch.zeros((B,), dtype=torch.long),
+        "total_num_clips": torch.full((B,), 10, dtype=torch.long),
+    }
+
+    batches = _batches()
+    ref_losses = []
+    for step, batch in enumerate(batches):
+        lr = LR * _ref_lr_mult(epoch=step)
+        for g in opt.param_groups:
+            g["lr"] = lr
+        logits, _ = ref(
+            torch.from_numpy(batch["img"]),
+            torch.from_numpy(batch["ids"]),
+            torch.ones((B, W, L), dtype=torch.long),
+            clip_info,
+        )
+        loss = F.cross_entropy(logits, torch.from_numpy(batch["label"]))
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), CLIP)
+        opt.step()
+        ref_losses.append(float(loss))
+
+    # --- JAX side: same recipe through our optimizer stack (f64) ---
+    from video_chapter_generation_tpu.core.config import OptimConfig
+    from video_chapter_generation_tpu.train.optim import (
+        make_optimizer,
+        set_lr_mult,
+    )
+
+    cfg = OptimConfig(
+        learning_rate=LR, weight_decay=WD, betas=BETAS, grad_norm_clip=CLIP,
+        warmup_epochs=WARMUP_EPOCHS, final_epochs=FINAL_EPOCHS,
+        lr_decay=True, lr_decay_type="cosine",
+    )
+
+    def loss_fn(params, batch_stats, img, ids, mask, label):
+        (logits, _), mutated = ours.apply(
+            {"params": params, "batch_stats": batch_stats},
+            img, ids, mask,
+            deterministic=True, train=True, mutable=["batch_stats"],
+        )
+        loss, _ = clip_classification_loss(logits, label)
+        return loss, mutated["batch_stats"]
+
+    our_losses = []
+    with jax.enable_x64(True):
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        tx = make_optimizer(cfg, params)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, img, ids, mask,
+                       label):
+            (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats, img, ids, mask, label
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, bs, opt_state, loss
+
+        mask = jnp.ones((B, W, L), jnp.int32)
+        for step, batch in enumerate(batches):
+            opt_state = set_lr_mult(opt_state, _ref_lr_mult(epoch=step))
+            img = jnp.asarray(
+                np.transpose(batch["img"], (0, 1, 2, 4, 5, 3)))
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, img,
+                jnp.asarray(batch["ids"].astype(np.int32)), mask,
+                jnp.asarray(batch["label"].astype(np.int32)),
+            )
+            our_losses.append(float(loss))
+
+    # loss curves track step for step
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-7, atol=1e-9)
+    # and the loss moved (the comparison is not vacuous)
+    assert abs(ref_losses[-1] - ref_losses[0]) > 1e-4
+
+    # post-training parameter drift: re-convert the trained torch weights
+    # and compare every leaf against our trained tree
+    trained_ref = convert_two_stream_window(ref.state_dict(), window_size=0,
+                                            head_type="mlp")
+    flat_ours = jax.tree_util.tree_leaves_with_path(params)
+    flat_ref = dict(jax.tree_util.tree_leaves_with_path(
+        trained_ref["params"]))
+    checked = 0
+    for path, leaf in flat_ours:
+        ref_leaf = np.asarray(flat_ref[path])
+        leaf = np.asarray(leaf)
+        # Recipe bugs are SYSTEMATIC (a wrong decay mask drifts every
+        # element of a leaf by ~9e-6/step), so require 99.9% of elements
+        # inside a tight band. Isolated elements whose gradient sits at
+        # Adam's eps scale (|g| ~ 1e-8) are hypersensitive
+        # (d(update)/dg ~ 1/(4 eps)) and wobble by O(lr * 1e-2) even in
+        # f64 — the loose max-bound covers those.
+        d = np.abs(leaf - ref_leaf)
+        tight = d <= 1e-6 * np.abs(ref_leaf) + 1e-7
+        assert tight.mean() > 0.999, (
+            jax.tree_util.keystr(path),
+            float(tight.mean()), float(d.max()),
+        )
+        assert d.max() < 1e-4, (jax.tree_util.keystr(path), float(d.max()))
+        checked += 1
+    assert checked > 50
+
+    # running stats: looser (torch uses unbiased batch var for the update;
+    # O(1/n) on running_var only, n = B*H*W per BN)
+    flat_ref_bs = dict(jax.tree_util.tree_leaves_with_path(
+        trained_ref["batch_stats"]))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(batch_stats):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_ref_bs[path]),
+            rtol=1e-2, atol=1e-6, err_msg=jax.tree_util.keystr(path),
+        )

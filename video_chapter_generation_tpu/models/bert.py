@@ -31,6 +31,7 @@ class BertConfig:
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
+    pad_token_id: int = 0  # HF default; padding_idx of the word table
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
 
@@ -119,6 +120,14 @@ class BertModel(nn.Module):
         else:
             emb = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
                            name="word_embeddings")(input_ids)
+            # padding_idx semantics (HF BertEmbeddings builds
+            # nn.Embedding(..., padding_idx=pad_token_id)): the pad row of
+            # the table receives NO gradient from pad positions. Values are
+            # unchanged (the pad row is zero-initialized), but without this
+            # the pad row trains and the tables drift from the reference
+            # (caught by tests/test_train_parity.py in f64).
+            pad = (input_ids == cfg.pad_token_id)[..., None]
+            emb = jnp.where(pad, jax.lax.stop_gradient(emb), emb)
         emb += nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
                         dtype=self.dtype, name="position_embeddings")(positions)
         emb += nn.Embed(cfg.type_vocab_size, cfg.hidden_size, dtype=self.dtype,

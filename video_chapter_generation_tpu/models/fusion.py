@@ -159,10 +159,14 @@ class CrossAttentionHead(nn.Module):
             return nn.Dense(self.hidden_size, kernel_init=init,
                             dtype=self.dtype, name=name)
 
-        lang = nn.LayerNorm(dtype=self.dtype, name="lang_norm")(lang_emb)
-        vision = nn.LayerNorm(dtype=self.dtype, name="vision_norm")(vision_emb)
+        lang = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="lang_norm")(lang_emb)
+        vision = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="vision_norm")(vision_emb)
 
-        positions = (jnp.arange(f, dtype=self.dtype) / (f - 1))[:, None]
+        # positions normalized in FLOAT32 regardless of self.dtype — the
+        # reference hard-casts with .float() (two_stream_window.py:52-53),
+        # and f64 differential tests need its exact rounding
+        positions = (jnp.arange(f, dtype=jnp.float32)
+                     / jnp.float32(f - 1)).astype(self.dtype)[:, None]
         pos_emb = nn.Dense(self.hidden_size, kernel_init=xavier,
                            dtype=self.dtype, name="frame_pos_encoding")(positions)
         vision = vision + pos_emb[None]
@@ -386,7 +390,7 @@ class WindowAttentionBlock(nn.Module):
         xavier = nn.initializers.xavier_uniform()
 
         # --- attention sublayer ---
-        y = nn.LayerNorm(dtype=self.dtype, name="attention_norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="attention_norm")(x)
 
         middle = s // 2
         rel = ((jnp.arange(s, dtype=self.dtype) - middle) / (middle + 1e-6))[:, None]
@@ -415,7 +419,7 @@ class WindowAttentionBlock(nn.Module):
         x = x + ctx
 
         # --- ffn sublayer (H->2H->4H->2H->H, gelu) ---
-        y = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ffn_norm")(x)
         for i, f in enumerate((2 * h, 4 * h, 2 * h, h)):
             y = nn.Dense(f, kernel_init=xavier, dtype=self.dtype,
                          name=f"ffn{i}")(y)
@@ -444,7 +448,7 @@ class StackedWindowAttention(nn.Module):
                 self.hidden_size, self.num_heads, self.window_size,
                 self.dropout, self.dtype, name=f"block{i}",
             )(x, deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")(x)
         target = x[:, x.shape[1] // 2]
 
         h = self.hidden_size
@@ -453,7 +457,7 @@ class StackedWindowAttention(nn.Module):
         for i, f in enumerate((h, h, h // 2, h // 4)):
             y = nn.Dense(f, kernel_init=xavier, dtype=self.dtype,
                          name=f"cls{i}")(y)
-            y = nn.LayerNorm(dtype=self.dtype, name=f"cls_ln{i}")(y)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"cls_ln{i}")(y)
             y = nn.gelu(y, approximate=False)
             y = nn.Dropout(0.1)(y, deterministic=deterministic)
         logits = nn.Dense(2, kernel_init=xavier, dtype=self.dtype,

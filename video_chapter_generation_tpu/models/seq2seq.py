@@ -354,6 +354,13 @@ class Seq2Seq(nn.Module):
     def _embed(self, ids, positions, pos_table):
         cfg = self.cfg
         x = self.shared(ids)
+        # padding_idx semantics (HF Pegasus/BART build the shared table as
+        # nn.Embedding(..., padding_idx=pad_token_id)): no gradient reaches
+        # the pad row; values unchanged (pad row zero-initialized). Keeps
+        # f64 training trajectories aligned with torch (see
+        # tests/test_train_parity.py for the BERT analogue).
+        x = jnp.where((ids == cfg.pad_token_id)[..., None],
+                      jax.lax.stop_gradient(x), x)
         if cfg.scale_embedding:
             x = x * math.sqrt(cfg.d_model)
         if cfg.learned_positions:

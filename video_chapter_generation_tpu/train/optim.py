@@ -24,15 +24,39 @@ _NO_DECAY_MARKERS = ("ln", "norm", "bn", "emb")
 
 
 def no_decay_mask(params) -> Any:
-    """True where weight decay applies. Reference rule: decay everything
-    except biases, LayerNorm/BatchNorm parameters and embeddings."""
+    """True where weight decay applies. Replicates the reference's
+    configure_optimizers partitions EXACTLY, quirks included:
+
+    - biases never decay (all families).
+    - The TwoStream family matches literal substrings of the torch fqn
+      ("LayerNorm"/"bn"/"emb", two_stream_window.py:358-392). That rule
+      exempts HF-BERT LayerNorms, torchvision bn1/2/3 and embeddings —
+      but DECAYS the torchvision downsample BN weight ("downsample.1",
+      our proj_bn) and every lowercase-named norm the reference authors
+      wrote themselves (window-attention attention_norm/ffn_norm/
+      final_layer_norm, the numeric Sequential norms inside the fusion
+      heads and classifier). tests/test_train_parity.py pins this
+      against the reference's own factory in f64.
+    - minGPT partitions by module type (gpt.py:157-189) and Pegasus by
+      "layer_norm"/"emb" (pegasus_hugface.py:55-70) — for both, plain
+      norm scales and embeddings are exempt, matmul kernels decay.
+    """
 
     def decide(path) -> bool:
         keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
         leaf = str(keys[-1]).lower()
-        if leaf != "kernel":  # bias, scale, embedding, pos tables...
-            return False
         joined = "/".join(str(k).lower() for k in keys)
+        if leaf.endswith("bias"):
+            return False
+        if leaf == "scale":
+            # torch fqn "downsample.1.weight" carries no marker -> decayed
+            if "proj_bn" in joined:
+                return True
+            # reference-authored lowercase norms (window_attn blocks +
+            # classifier, fusion-head stacks) -> decayed by its rule
+            return "window_attn" in joined or "fusion_head" in joined
+        if leaf != "kernel":  # embeddings, pos tables, BN mean/var...
+            return False
         return not any(m in joined for m in _NO_DECAY_MARKERS)
 
     return jax.tree_util.tree_map_with_path(lambda p, _: decide(p), params)
@@ -60,6 +84,28 @@ def lr_multiplier(epoch: int, cfg: OptimConfig) -> float:
     raise ValueError(f"unknown lr_decay_type {cfg.lr_decay_type}")
 
 
+def clip_by_global_norm_ref(max_norm: float) -> optax.GradientTransformation:
+    """torch.nn.utils.clip_grad_norm_ semantics: when clipping, scale by
+    max_norm / (global_norm + 1e-6) — torch adds 1e-6 to the denominator
+    (clip_grad.py), optax.clip_by_global_norm does not. The difference is
+    O(1e-6) relative, but differential training-trajectory tests
+    (tests/test_train_parity.py) compare step for step in f64, where the
+    mismatch compounds visibly."""
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        norm = optax.global_norm(updates)
+        scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+        return jax.tree_util.tree_map(lambda g: g * scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
     """AdamW with the reference's decay partition, grad clipping, dynamic
     LR scaling (via `scale_by_lr_mult` injected state) and accumulation.
@@ -72,7 +118,7 @@ def make_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
 
     def base(lr_mult: float = 1.0):
         return optax.chain(
-            optax.clip_by_global_norm(cfg.grad_norm_clip),
+            clip_by_global_norm_ref(cfg.grad_norm_clip),
             optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]),
             optax.add_decayed_weights(cfg.weight_decay, mask=mask),
             optax.scale(-cfg.learning_rate),
@@ -138,7 +184,7 @@ def make_grouped_optimizer(cfg: OptimConfig, params,
             lambda params: optax.EmptyState(), scale_update
         )
         return optax.chain(
-            optax.clip_by_global_norm(cfg.grad_norm_clip),
+            clip_by_global_norm_ref(cfg.grad_norm_clip),
             optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]),
             optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
             per_group,
