@@ -1,0 +1,117 @@
+"""Per-HLO device-time profile of ONE full training step on real TPU.
+
+Same trace machinery as profile_model.py (device_duration events are
+trustworthy through the axon tunnel), but the traced region is the
+flagship TwoStreamWindow train step exactly as bench_train.py runs it:
+forward (BERT-base + ResNet50-TSM + window attention), cross-entropy,
+backward, grad clip + AdamW, BatchNorm batch-stat update.
+
+Usage: python tools/profile_train.py [--b 4] [--top 40]
+       [--dtype f32|bf16] [--impl tap3|...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from profile_model import load_device_events, summarize  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, default=4)
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--impl", default=None,
+                    help="tsm_impl override (default: model 'auto')")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from video_chapter_generation_tpu.core.config import Config
+    from video_chapter_generation_tpu.ops.preprocess import normalize_frames
+    from video_chapter_generation_tpu.train.loop import create_train_state
+    from video_chapter_generation_tpu.train.objectives import (
+        clip_classification_loss,
+    )
+    from video_chapter_generation_tpu.train.optim import make_optimizer
+    from video_chapter_generation_tpu.train.tasks import SegmentWindowTask
+
+    cfg = Config()
+    overrides = []
+    if args.dtype == "bf16":
+        overrides.append("model.dtype=bfloat16")
+    if args.impl:
+        overrides.append(f"model.tsm_impl={args.impl}")
+    if overrides:
+        cfg = cfg.apply_overrides(overrides)
+    task = SegmentWindowTask(cfg, tiny=False, hw=224)
+    W = 2 * cfg.data.window_size + 1
+    seg = cfg.data.clip_frame_num
+    L = cfg.data.max_text_len
+    B = args.b
+
+    variables = jax.jit(task.init_variables)()
+    tx = make_optimizer(cfg.optim, variables["params"])
+    state = create_train_state(variables, tx)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "img_clips": jnp.asarray(rng.integers(
+            0, 256, (B, W, seg, 224, 224, 3), dtype=np.uint8)),
+        "text_ids": jnp.asarray(rng.integers(
+            0, 1000, (B, W, L), dtype=np.int64).astype(np.int32)),
+        "label": jnp.asarray(rng.integers(0, 2, (B,), dtype=np.int64)
+                             .astype(np.int32)),
+    }
+
+    def loss_fn(params, batch_stats, batch, key):
+        img = normalize_frames(batch["img_clips"])
+        (logits, _), mutated = task.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            img, batch["text_ids"], jnp.ones_like(batch["text_ids"]),
+            deterministic=False, train=True,
+            rngs={"dropout": key}, mutable=["batch_stats"],
+        )
+        loss, metrics = clip_classification_loss(logits, batch["label"])
+        return loss, (metrics, mutated["batch_stats"])
+
+    @jax.jit
+    def step(state, batch, key):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (_, bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        state = state.replace(step=state.step + 1, params=params,
+                              batch_stats=bs, opt_state=opt_state)
+        return state, loss
+
+    key = jax.random.PRNGKey(0)
+    state, loss = step(state, batch, key)
+    float(loss)  # compile + warm
+
+    trace_dir = tempfile.mkdtemp(prefix="vcgtrain_")
+    with jax.profiler.trace(trace_dir):
+        state, loss = step(state, batch, key)
+        float(loss)  # host fetch forces completion inside the window
+    evs = load_device_events(trace_dir)
+    total = summarize(evs, args.top)
+    frames = B * W * seg
+    print(f"\n{frames} frames/step -> {1e3 * frames / total:.0f} frames/s "
+          f"(device-time bound, dtype={args.dtype})")
+    if args.keep:
+        print("trace:", trace_dir)
+
+
+if __name__ == "__main__":
+    main()

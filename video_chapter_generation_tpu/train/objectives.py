@@ -18,8 +18,20 @@ import jax.numpy as jnp
 import optax
 
 
+def _at_least_f32(logits):
+    """Upcast half-precision logits to f32 for CE; keep f32/f64 as-is."""
+    if jnp.finfo(logits.dtype).bits < 32:
+        return logits.astype(jnp.float32)
+    return logits
+
+
 def clip_classification_loss(logits, labels) -> Tuple[jax.Array, Dict]:
-    """logits [B,2], labels [B] int -> mean CE + accuracy."""
+    """logits [B,2], labels [B] int -> mean CE + accuracy.
+
+    CE reduces in at-least-float32: under bf16 compute (mixed precision)
+    the logits arrive half-precision, and softmax/log in bf16 loses the
+    loss signal. Wider dtypes (f64 differential tests) pass through."""
+    logits = _at_least_f32(logits)
     loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
     acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
     return loss, {"loss": loss, "acc": acc}
@@ -30,6 +42,7 @@ def masked_token_loss(logits, targets, ignore_index: int = -1):
 
     logits [B,L,V], targets [B,L] with ignore_index marking unused
     positions (the reference's Y_PAD = -1, youtube_dataset.py:20)."""
+    logits = _at_least_f32(logits)  # stable CE under bf16 compute
     valid = targets != ignore_index
     safe_targets = jnp.where(valid, targets, 0)
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, safe_targets)
@@ -42,6 +55,7 @@ def masked_token_loss(logits, targets, ignore_index: int = -1):
 def seq2seq_title_loss(logits, target_ids, decode_attention_mask):
     """Masked CE + token accuracy over real decoder positions
     (train_chapter_title_gen.py:158-169)."""
+    logits = _at_least_f32(logits)  # stable CE under bf16 compute
     mask = decode_attention_mask.astype(jnp.float32)
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, target_ids)
     denom = jnp.maximum(mask.sum(), 1.0)

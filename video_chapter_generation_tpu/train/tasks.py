@@ -34,14 +34,24 @@ def _bert_cfg(cfg: Config, tiny: bool) -> BertConfig:
     return BertConfig.tiny() if tiny else BertConfig()
 
 
-def _vision(cfg: Config, tiny: bool, n_segment: int) -> ResNet:
+def _dtype(cfg: Config):
+    """Compute dtype from model.compute_dtype: bf16 keeps parameters,
+    BatchNorm statistics and the CE reduction in f32 (flax param_dtype
+    and _at_least_f32 in objectives) — the mixed-precision recipe the
+    reference ran through fp16 Accelerate/DeepSpeed."""
+    if cfg.model.compute_dtype in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _vision(cfg: Config, tiny: bool, n_segment: int, dtype) -> ResNet:
     # "auto" resolves per mode inside ResNet: tap3 for training, the
     # fused/pallas mix for inference (PERF.md round-2 sweeps)
     if tiny:
         return ResNet(stage_sizes=(1, 1, 1, 1), n_segment=n_segment,
-                      tsm_impl=cfg.model.tsm_impl)
+                      tsm_impl=cfg.model.tsm_impl, dtype=dtype)
     return ResNet(depth=50, n_segment=n_segment,
-                  tsm_impl=cfg.model.tsm_impl)
+                  tsm_impl=cfg.model.tsm_impl, dtype=dtype)
 
 
 class _TaskBase:
@@ -58,13 +68,16 @@ class SegmentWindowTask(_TaskBase):
         self.hw = hw
         self.text_len = text_len or cfg.data.max_text_len
         seg = cfg.data.clip_frame_num
+        dt = _dtype(cfg)
+        self.dtype = dt
         self.model = TwoStreamWindow(
-            lang_model=BertModel(_bert_cfg(cfg, tiny)),
-            vision_model=_vision(cfg, tiny, seg),
+            lang_model=BertModel(_bert_cfg(cfg, tiny), dtype=dt),
+            vision_model=_vision(cfg, tiny, seg, dt),
             window_size=cfg.data.window_size,
             segment_size=seg,
             hidden_size=cfg.model.hidden_size,
             head_type=cfg.model.head_type,
+            dtype=dt,
         )
 
     def _example(self):
@@ -80,7 +93,7 @@ class SegmentWindowTask(_TaskBase):
                                img, ids, mask)
 
     def loss_fn(self, params, batch_stats, batch, rng):
-        img = normalize_frames(batch["img_clips"])
+        img = normalize_frames(batch["img_clips"], out_dtype=self.dtype)
         (logits, _), mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             img, batch["text_ids"], batch["attention_mask"],
@@ -95,7 +108,7 @@ class SegmentWindowTask(_TaskBase):
 
         @jax.jit
         def score(params, batch_stats, img_u8, ids, mask):
-            img = normalize_frames(img_u8)
+            img = normalize_frames(img_u8, out_dtype=self.dtype)
             _, prob = self.model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 img, ids, mask,
@@ -125,13 +138,16 @@ class SegmentTask(_TaskBase):
         self.cfg = cfg
         self.hw = hw
         seg = cfg.data.clip_frame_num
+        dt = _dtype(cfg)
+        self.dtype = dt
         self.model = TwoStream(
-            lang_model=BertModel(_bert_cfg(cfg, tiny)),
-            vision_model=_vision(cfg, tiny, seg),
+            lang_model=BertModel(_bert_cfg(cfg, tiny), dtype=dt),
+            vision_model=_vision(cfg, tiny, seg, dt),
             segment_size=seg,
             hidden_size=cfg.model.hidden_size,
             head_type=cfg.model.head_type if cfg.model.head_type in
             ("mlp", "attn") else "mlp",
+            dtype=dt,
         )
 
     def init_variables(self):
@@ -142,7 +158,7 @@ class SegmentTask(_TaskBase):
                                img, ids, jnp.ones_like(ids))
 
     def loss_fn(self, params, batch_stats, batch, rng):
-        img = normalize_frames(batch["img_clip"])
+        img = normalize_frames(batch["img_clip"], out_dtype=self.dtype)
         (logits, _), mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             img, batch["text_ids"], batch["attention_mask"],
@@ -266,7 +282,7 @@ class TitleGenTask(_TaskBase):
     def __init__(self, cfg: Config, seq2seq_cfg: Seq2SeqConfig):
         self.cfg = cfg
         self.s2s_cfg = seq2seq_cfg
-        self.model = Seq2Seq(seq2seq_cfg)
+        self.model = Seq2Seq(seq2seq_cfg, dtype=_dtype(cfg))
 
     def init_variables(self):
         ids = jnp.ones((1, 8), jnp.int32)
@@ -318,7 +334,8 @@ class TitleGenVisionTask(TitleGenTask):
         self.cfg = cfg
         self.s2s_cfg = seq2seq_cfg
         self.model = Seq2SeqVisionEmb(seq2seq_cfg, fusion_type=fusion_type,
-                                      vision_emb_size=vision_emb_size)
+                                      vision_emb_size=vision_emb_size,
+                                      dtype=_dtype(cfg))
         self.vision_emb_size = vision_emb_size
 
     def init_variables(self):
