@@ -12,12 +12,21 @@ block_until_ready is a no-op through the tunneled runtime (PERF.md).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def main(argv=None):
+    argv = list(argv if argv is not None else sys.argv[1:])
+
+    def opt(flag, default, cast):
+        if flag in argv:
+            i = argv.index(flag)
+            return cast(argv[i + 1])
+        return default
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -33,15 +42,22 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        B, ITERS, tiny, hw = 4, 4, False, 224
+        B, ITERS, tiny, hw = opt("--b", 4, int), 4, False, 224
     else:  # smoke mode off-TPU
         B, ITERS, tiny, hw = 1, 2, True, 32
 
     cfg = Config()
+    overrides = []
     if tiny:
-        cfg = cfg.apply_overrides(
-            ["data.clip_frame_num=4", "data.max_text_len=16"]
-        )
+        overrides += ["data.clip_frame_num=4", "data.max_text_len=16"]
+    impl = opt("--impl", None, str)   # tap3 | xla(split) | pallas
+    if impl:
+        overrides.append(f"model.tsm_impl={impl}")
+    dtype = opt("--dtype", None, str)  # override model.compute_dtype
+    if dtype:
+        overrides.append(f"model.compute_dtype={dtype}")
+    if overrides:
+        cfg = cfg.apply_overrides(overrides)
     task = SegmentWindowTask(cfg, tiny=tiny, hw=hw)
     W = 2 * cfg.data.window_size + 1
     seg = cfg.data.clip_frame_num

@@ -133,6 +133,69 @@ def test_fused_block_stride2(rows, conv1_mode, s2_mode, width):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("width", [W, 12], ids=["w8", "w12"])
+@pytest.mark.parametrize("rows", [None, 2], ids=["whole", "tiled"])
+def test_fused_block_stride2_planar(rows, width):
+    """Pair-merged-column input variant: packing adjacent columns into
+    lanes (the producer-side inter-block layout) must reproduce the
+    full-width stride-2 bottleneck exactly. width=12 exercises the
+    ragged plane blocks (whb > wh)."""
+    from video_chapter_generation_tpu.ops.tsm_block_pallas import (
+        tsm_bottleneck_s2_planar_pallas)
+
+    rng = np.random.default_rng(3)
+    c_in, f = 16, 8
+    p = _params(rng, c_in, f, 4 * f)
+    x = jnp.asarray(rng.standard_normal((B * T, H, width, c_in)),
+                    jnp.float32)
+    ref = _xla_s2_ref(x, p)
+    xpm = x.reshape(B * T, H, width // 2, 2 * c_in)
+    got = tsm_bottleneck_s2_planar_pallas(
+        xpm, p["w1"], p["w2"], p["w3"], *p["a1"], *p["a2"], *p["a3"],
+        p["wp"], *p["ap"], T, tuning=dict(rows=rows),
+    )
+    assert got.shape == (B * T, H // 2, width // 2, 4 * f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("width", [W, 12], ids=["w8", "w12"])
+@pytest.mark.parametrize("flat", [True, False], ids=["flat", "4d"])
+@pytest.mark.parametrize("rows", [None, 4], ids=["whole", "tiled"])
+def test_fused_block_planar_out(rows, flat, width):
+    """planar_out=True must equal the standard output with adjacent
+    columns packed into lanes (the stride-2 consumer's input layout),
+    through both the flat and the 4-D halo/whole kernels."""
+    rng = np.random.default_rng(4)
+    c = 16
+    p = _params(rng, c, 8, c)
+    x = jnp.asarray(rng.standard_normal((B * T, H, width, c)), jnp.float32)
+    ref = tsm_bottleneck_reference(
+        x, p["w1"], p["w2"], p["w3"], *p["a1"], *p["a2"], *p["a3"], T)
+    ref_pm = ref.reshape(B * T, H, width // 2, 2 * c)
+    got = tsm_bottleneck_pallas(
+        x, p["w1"], p["w2"], p["w3"], *p["a1"], *p["a2"], *p["a3"], T,
+        tuning=dict(rows=rows, flat=flat), planar_out=True,
+    )
+    assert got.shape == ref_pm.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_pm),
+                               rtol=1e-5, atol=1e-5)
+
+    # end-to-end chain: planar producer -> pair-merged stride-2 consumer
+    from video_chapter_generation_tpu.ops.tsm_block_pallas import (
+        tsm_bottleneck_s2_planar_pallas, tsm_bottleneck_s2_pallas)
+
+    p2 = _params(rng, c, 8, 4 * 8)
+    want = tsm_bottleneck_s2_pallas(
+        ref, p2["w1"], p2["w2"], p2["w3"], *p2["a1"], *p2["a2"],
+        *p2["a3"], p2["wp"], *p2["ap"], T)
+    chain = tsm_bottleneck_s2_planar_pallas(
+        got, p2["w1"], p2["w2"], p2["w3"], *p2["a1"], *p2["a2"],
+        *p2["a3"], p2["wp"], *p2["ap"], T)
+    np.testing.assert_allclose(np.asarray(chain), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_stem_bn_relu_maxpool_matches_reference():
     from video_chapter_generation_tpu.ops.stem_pallas import (
         bn_relu_maxpool_pallas, bn_relu_maxpool_reference)

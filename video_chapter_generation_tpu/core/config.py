@@ -57,6 +57,12 @@ class ModelConfig:
     # (whole-block fused kernels for layers 1-2 at inference, pallas conv1
     # elsewhere/training); or one of tap3 | pallas | xla | fusedblk
     tsm_impl: str = "auto"
+    # rematerialize each vision bottleneck in the backward pass: trades
+    # ~1/3 more vision FLOPs for O(depth) less stored activation memory.
+    # Unlocks b16+ window batches (OOM without) but measured SLOWER than
+    # b8 without remat on v5e (1116 vs 1322 frames/s — PERF.md round 3),
+    # so off by default; turn on for larger windows / longer clips.
+    remat_vision: bool = False
     # pretrained checkpoint paths (converted from torch; optional)
     bert_init: Optional[str] = None
     vision_init: Optional[str] = None

@@ -72,6 +72,9 @@ class TSMConv1x1(nn.Module):
             (1, 1, x.shape[-1], self.features),
         )
         kernel = kernel.astype(self.dtype)
+        # flax convention: inputs promote to the module compute dtype (the
+        # custom conv paths call lax.conv directly, which requires it)
+        x = x.astype(self.dtype)
         if self.tsm_impl == "tap3" and out_scale is None:
             return temporal_shift_conv1x1_3tap(
                 x, kernel, self.n_segment, self.n_div
@@ -268,6 +271,11 @@ class ResNet(nn.Module):
     # TRAINING runs the natively-differentiable 3-tap conv everywhere.
     # Or: one impl string for all stages, or a per-stage 4-tuple.
     tsm_impl: Any = "auto"
+    # rematerialize each bottleneck under grad (training only): residuals
+    # are recomputed in the backward pass, so only block INPUTS are stored
+    # — the f32 per-conv activation saves that OOM'd B=16 training steps
+    # (PERF.md round 3) vanish, at ~1/3 extra forward FLOPs in backward.
+    remat: bool = False
     fold_bn_inference: Optional[bool] = None
     fuse_stem_pool: bool = True  # fused stem bn+relu+maxpool at inference
     # "frames": x is [N, H, W, 3] (normalized float). "s2d": x is the 4x4
@@ -352,6 +360,10 @@ class ResNet(nn.Module):
                                 padding=[(1, 1), (1, 1)])
 
         sizes = self.stage_sizes or STAGE_SIZES[self.depth]
+        block_cls = Bottleneck
+        if self.remat and not use_ra:
+            # static_argnums counts the module instance as arg 0
+            block_cls = nn.remat(Bottleneck, static_argnums=(2, 3))
         for stage, num_blocks in enumerate(sizes):
             if stage + 1 <= from_stage:
                 continue
@@ -365,7 +377,7 @@ class ResNet(nn.Module):
                     impl, impl_train = self.tsm_impl, None
                 else:
                     impl, impl_train = self.tsm_impl[stage], None
-                y = Bottleneck(
+                y = block_cls(
                     features=features,
                     stride=stride,
                     projection=(block == 0),
@@ -377,7 +389,7 @@ class ResNet(nn.Module):
                     fold_bn_inference=self.fold_bn_inference,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{block}",
-                )(y, train=train, bn_batch_stats=bn_batch_stats)
+                )(y, train, bn_batch_stats)
             if capture is not None:
                 capture[f"stage{stage + 1}"] = y
 

@@ -147,7 +147,7 @@ def _conv1_shift(x, w1, fold: int, s1, b1, dt, mode: str):
 
 
 def _kernel(x_ref, *refs, fold: int, halo: bool, proj: bool,
-            conv1_mode: str):
+            conv1_mode: str, planar: bool = False):
     """One (batch sample, row tile) step. Shapes:
     x_ref [1,T,R,W,C]; with halo also top/bot_ref [1,T,1,W,C];
     then w1 [C,F], w2 [3,3F,F] (dr-major im2col layout), w3 [F,Cout],
@@ -164,7 +164,7 @@ def _kernel(x_ref, *refs, fold: int, halo: bool, proj: bool,
         (o_ref,) = refs
     t, r, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3], x_ref.shape[4]
     f = w1_ref.shape[1]
-    c_out = o_ref.shape[-1]
+    c_out = o_ref.shape[-1] // 2 if planar else o_ref.shape[-1]
     dt = o_ref.dtype
 
     x = x_ref[0]
@@ -221,12 +221,26 @@ def _kernel(x_ref, *refs, fold: int, halo: bool, proj: bool,
                .reshape(t, r, w, c_out))
     else:
         res = x
-    o_ref[0] = jnp.maximum(y3 + res, 0.0)
+    out = jnp.maximum(y3 + res, 0.0)
+    if planar:
+        # pair-merged store for a following stride-2 block0 (see
+        # _kernel_s2_planar): sublane->lane merge FROM natural layout as
+        # the final op; zero-fill up to the (possibly sublane-padded)
+        # merged block width before the ragged store clips it.
+        pm = out.reshape(t, r, w // 2, 2 * c_out)
+        wpm = o_ref.shape[3]
+        if wpm > w // 2:
+            pm = jnp.concatenate(
+                [pm, jnp.zeros((t, r, wpm - w // 2, 2 * c_out), dt)],
+                axis=2)
+        o_ref[0] = pm
+    else:
+        o_ref[0] = out
 
 
 def _kernel_flat(x_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref, s2_ref,
                  b2_ref, s3_ref, b3_ref, o_ref, *, fold: int, h: int,
-                 w: int, wt: int):
+                 w: int, wt: int, planar: bool = False):
     """Whole-sample stride-1 non-projection bottleneck in FLAT [M, C]
     space (M = G*T*H*W; x_ref [G,T,H,W,C] — G whole samples per grid
     step, temporal taps masked at clip boundaries so samples never mix).
@@ -293,7 +307,15 @@ def _kernel_flat(x_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref, s2_ref,
 
     y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
     y3 = y3.astype(dt) * s3_ref[0] + b3_ref[0]
-    o_ref[:] = jnp.maximum(y3 + x, 0.0).reshape(g, t, h, w, c)
+    v = jnp.maximum(y3 + x, 0.0).reshape(g, t, h, w, c)
+    if planar:
+        # pair-merged store for a following stride-2 block0 (see
+        # _kernel_s2_planar): the sublane->lane merge is the final op,
+        # FROM a natural layout — the legal direction. w (the padded
+        # block width) is even, so true columns pair with true columns.
+        o_ref[:] = v.reshape(g, t, h, w // 2, 2 * c)
+    else:
+        o_ref[:] = v
 
 
 def _kernel_s2(x_ref, top_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
@@ -407,6 +429,168 @@ def _kernel_s2(x_ref, top_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
         out = jnp.concatenate(
             [out, jnp.zeros((t, r, wob - wo, c_out), dt)], axis=2)
     o_ref[0] = out
+
+
+def _kernel_s2_planar(x_ref, top_ref, w1_ref, w2_ref,
+                      w3_ref, s1_ref, b1_ref, s2_ref, b2_ref, s3_ref,
+                      b3_ref, wp_ref, sp_ref, bp_ref, o_ref, *, fold: int,
+                      conv1_mode: str):
+    """Stride-2 projection bottleneck on a PAIR-MERGED column input.
+
+    The inter-block layout redesign (TODO round 2): the producer block
+    emits its output with adjacent columns packed into lanes —
+    x[..., w, :C] = even col 2w, x[..., w, C:] = odd col 2w+1 — so the
+    stride-2 column selection that forced an in-kernel sublane->lane pair
+    merge (whose (1,128)-layout output Mosaic relayouts before every MXU
+    pass: ~0.9GB/step at L2 block0) disappears entirely. The producer's
+    merge happens right before its store FROM a natural layout (the legal
+    direction), and this kernel only LANE-SLICES freshly loaded natural
+    blocks at 128-multiples (clean, probe-verified). Every tap is then a
+    natural-layout tensor:
+      out col w: left tap = odd plane col w-1 (one sublane shift, zeroed
+      at col 0), center tap = even plane col w, right tap = odd plane
+      col w.
+    Row selection stays on the untiled axis as in _kernel_s2. The
+    projection residual is the even plane at even rows — no pair merge.
+
+    x_ref [1,T,2R,Wh,2C] (Wh = sublane-padded half width; pad columns
+    undefined — they only ever flow to pad output columns, which the
+    ragged store clips); top_ref [1,T,1,Wh,2C] = merged input row
+    j*2R-1 (clamped, zeroed at j==0); o_ref [1,T,R,Wh,Cout]."""
+    t, r2, wh, c2 = (x_ref.shape[1], x_ref.shape[2], x_ref.shape[3],
+                     x_ref.shape[4])
+    c = c2 // 2
+    r = r2 // 2
+    f = w1_ref.shape[1]
+    c_out = o_ref.shape[-1]
+    dt = o_ref.dtype
+
+    c1 = functools.partial(_conv1_shift, w1=w1_ref[:], fold=fold,
+                           s1=s1_ref[0], b1=b1_ref[0], dt=dt,
+                           mode=conv1_mode)
+    j = pl.program_id(1)
+    edge = jnp.where(j == 0, 0.0, 1.0).astype(dt)
+    x = x_ref[0]
+    top = top_ref[0]
+    y1e = jnp.concatenate([edge * c1(top[..., :c]), c1(x[..., :c])],
+                          axis=1)
+    y1o = jnp.concatenate([edge * c1(top[..., c:]), c1(x[..., c:])],
+                          axis=1)
+    # [T, 2R+1, Wh, F] each
+
+    def row_taps(y1):
+        ye = y1[:, : 2 * r].reshape(t, r, 2, wh, f)
+        return (
+            ye[:, :, 0],  # dr=0: input rows 2r-1 relative to out row r
+            ye[:, :, 1],  # dr=1: rows 2r
+            (jnp.concatenate([ye[:, 1:, 0], y1[:, 2 * r : 2 * r + 1]],
+                             axis=1)
+             if r > 1 else y1[:, 2 : 3]),  # dr=2: rows 2r+1
+        )
+
+    taps_e = row_taps(y1e)
+    taps_o = row_taps(y1o)
+    m2 = t * r * wh
+    zc = jnp.zeros((t, r, 1, f), dt)
+    acc = None
+    for dr in (1, 0, 2):
+        ce, co = taps_e[dr], taps_o[dr]
+        # left tap of out col w = odd col w-1 (zero at w == 0: SAME pad)
+        tap_l = jnp.concatenate([zc, co[:, :, :-1]], axis=2)
+        z = jnp.concatenate([tap_l, ce, co], axis=-1)  # [T,R,Wh,3F]
+        d = jnp.dot(z.reshape(m2, 3 * f), w2_ref[dr],
+                    preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    y2 = jnp.maximum(acc.astype(dt) * s2_ref[0] + b2_ref[0], 0.0)
+    y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
+    y3 = (y3.astype(dt) * s3_ref[0] + b3_ref[0]).reshape(t, r, wh, c_out)
+    # stride-2 1x1 projection: even plane at even rows — natural layout
+    xe_even = x[..., :c].reshape(t, r, 2, wh, c)[:, :, 0]
+    res = jnp.dot(xe_even.reshape(m2, c), wp_ref[:],
+                  preferred_element_type=jnp.float32)
+    res = (res.astype(dt) * sp_ref[0] + bp_ref[0]).reshape(t, r, wh, c_out)
+    o_ref[0] = jnp.maximum(y3 + res, 0.0)
+
+
+def tsm_bottleneck_s2_planar_pallas(xpm, w1, w2, w3, s1, b1, s2, b2,
+                                    s3, b3, wp, sp, bp, n_segment: int,
+                                    n_div: int = 8, tuning=None):
+    """Pair-merged-input fused stride-2 downsample bottleneck:
+    xpm [N*T, H, W/2, 2C] (adjacent columns packed into lanes:
+    xpm[..., w, :C] = col 2w, xpm[..., w, C:] = col 2w+1)
+    -> [N*T, H/2, W/2, Cout]. Producers emit this layout directly
+    (tsm_bottleneck_pallas planar_out=True), removing the in-kernel
+    stride-2 column-selection relayout. Weight/affine layout as
+    tsm_bottleneck_s2_pallas."""
+    tune = dict(DEFAULT_TUNING)
+    if tuning:
+        tune.update(tuning)
+    nt, h, wh, c2 = xpm.shape
+    c = c2 // 2
+    b = nt // n_segment
+    t = n_segment
+    w1 = w1.reshape(c, -1).astype(xpm.dtype)
+    f = w1.shape[1]
+    w2 = w2.reshape(3, 3, f, f).astype(xpm.dtype)
+    w3 = w3.reshape(f, -1).astype(xpm.dtype)
+    c_out = w3.shape[1]
+    fold = c // n_div
+
+    s1, b1, s2, b2 = (jnp.asarray(v).reshape(-1) for v in (s1, b1, s2, b2))
+    rows = tune["rows"] or _pick_rows_s2(h, 2 * wh, c, c_out, t,
+                                         xpm.dtype.itemsize)
+    assert (h // 2) % rows == 0, (
+        f"rows override {rows} must divide output height {h // 2}")
+    n_tiles = (h // 2) // rows
+    x5 = xpm.reshape(b, t, h, wh, c2)
+    grid = (b, n_tiles)
+    whb = -(-wh // 8) * 8  # sublane-padded ragged half-width block
+
+    def vec(v, n):
+        return jnp.asarray(v).reshape(1, n).astype(xpm.dtype)
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_s2_planar, fold=fold,
+                          conv1_mode=tune["conv1_mode"]),
+        out_shape=jax.ShapeDtypeStruct((b, t, h // 2, wh, c_out),
+                                       xpm.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t, 2 * rows, whb, c2),
+                         lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, t, 1, whb, c2),
+                lambda i, j: (i, 0, jnp.maximum(j * 2 * rows - 1, 0),
+                              0, 0),
+                memory_space=pltpu.VMEM),
+            full((c, f)), full((3, 3 * f, f)), full((f, c_out)),
+            full((1, f)), full((1, f)), full((1, f)), full((1, f)),
+            full((1, c_out)), full((1, c_out)),
+            full((c, c_out)), full((1, c_out)), full((1, c_out)),
+        ],
+        out_specs=pl.BlockSpec((1, t, rows, whb, c_out),
+                               lambda i, j: (i, 0, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=(
+                (tune["dimsem"],) * 2 if tune["dimsem"] else None
+            ),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        x5, x5, w1, w2.reshape(3, 3 * f, f), w3,
+        vec(s1, f), vec(b1, f), vec(s2, f), vec(b2, f),
+        vec(s3, c_out), vec(b3, c_out),
+        wp.reshape(c, c_out).astype(xpm.dtype),
+        vec(sp, c_out), vec(bp, c_out),
+    )
+    return out.reshape(nt, h // 2, wh, c_out)
 
 
 def _pick_rows_s2(h: int, w: int, c: int, c_out: int, t: int,
@@ -541,18 +725,24 @@ def _pick_rows(h: int, w: int, c: int, t: int, es: int = 2) -> int:
 
 def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
                           n_segment: int, n_div: int = 8,
-                          wp=None, sp=None, bp=None, tuning=None):
+                          wp=None, sp=None, bp=None, tuning=None,
+                          planar_out: bool = False):
     """Fused inference bottleneck: x [N*T, H, W, C] -> [N*T, H, W, Cout].
 
     w1 [1,1,C,F] or [C,F]; w2 [3,3,F,F]; w3 [1,1,F,Cout] or [F,Cout];
     s*/b*: inference-folded BatchNorm scale/bias per conv output. With
     wp/sp/bp ([C,Cout] + affine) the residual goes through the projection
     conv (stride-1 downsample blocks, e.g. ResNet50 layer1 block0).
-    tuning: optional dict overriding DEFAULT_TUNING entries."""
+    tuning: optional dict overriding DEFAULT_TUNING entries.
+    planar_out: emit [N*T, H, W/2, 2*Cout] with adjacent columns packed
+    into lanes — the input layout of tsm_bottleneck_s2_planar_pallas
+    (used when the NEXT block is a fused stride-2 downsample)."""
     tune = dict(DEFAULT_TUNING)
     if tuning:
         tune.update(tuning)
     nt, h, w, c = x.shape
+    if planar_out:
+        assert w % 2 == 0, w
     b = nt // n_segment
     t = n_segment
     w1 = w1.reshape(c, -1).astype(x.dtype)
@@ -605,9 +795,14 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
         flat_full = lambda shape: pl.BlockSpec(
             shape, lambda i: tuple(0 for _ in shape),
             memory_space=pltpu.VMEM)
+        out_shape = ((b, t, h, w // 2, 2 * c_out) if planar_out
+                     else (b, t, h, w, c_out))
+        out_block = ((gblk, t, h, wp8 // 2, 2 * c_out) if planar_out
+                     else (gblk, t, h, wp8, c_out))
         out = pl.pallas_call(
-            functools.partial(_kernel_flat, fold=fold, h=h, w=wp8, wt=w),
-            out_shape=jax.ShapeDtypeStruct((b, t, h, w, c_out), x.dtype),
+            functools.partial(_kernel_flat, fold=fold, h=h, w=wp8, wt=w,
+                              planar=planar_out),
+            out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
             grid=(b // gblk,),
             in_specs=[
                 pl.BlockSpec((gblk, t, h, wp8, c),
@@ -619,7 +814,7 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
                 flat_full((1, f)), flat_full((1, f)),
                 flat_full((1, c_out)), flat_full((1, c_out)),
             ],
-            out_specs=pl.BlockSpec((gblk, t, h, wp8, c_out),
+            out_specs=pl.BlockSpec(out_block,
                                    lambda i: (i, 0, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
@@ -633,7 +828,7 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
             vec(s1, f), vec(b1, f), vec(s2, f), vec(b2, f),
             vec(s3, c_out), vec(b3, c_out),
         )
-        return out.reshape(nt, h, w, c_out)
+        return out.reshape(nt, h, *out_shape[3:])
 
     if halo:
         idx = lambda i, j: (i, 0, j, 0, 0)
@@ -675,10 +870,20 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
         proj_args = [wp.reshape(c, c_out).astype(x.dtype),
                      vec(sp, c_out), vec(bp, c_out)]
 
+    if planar_out:
+        wpmb = -(-(w // 2) // 8) * 8  # merged block width, sublane-padded
+        out_shape = (b, t, h, w // 2, 2 * c_out)
+        out_block = ((1, t, rows, wpmb, 2 * c_out) if halo
+                     else (1, t, h, wpmb, 2 * c_out))
+    else:
+        out_shape = (b, t, h, w, c_out)
+        out_block = ((1, t, rows, w, c_out) if halo
+                     else (1, t, h, w, c_out))
     out = pl.pallas_call(
         functools.partial(_kernel, fold=fold, halo=halo, proj=proj,
-                          conv1_mode=tune["conv1_mode"]),
-        out_shape=jax.ShapeDtypeStruct((b, t, h, w, c_out), x.dtype),
+                          conv1_mode=tune["conv1_mode"],
+                          planar=planar_out),
+        out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
         grid=grid,
         in_specs=[
             body_spec, *halo_specs,
@@ -687,8 +892,7 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
             full((1, c_out)), full((1, c_out)),
             *proj_specs,
         ],
-        out_specs=pl.BlockSpec((1, t, rows, w, c_out) if halo
-                               else (1, t, h, w, c_out), idx,
+        out_specs=pl.BlockSpec(out_block, idx,
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -704,7 +908,7 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
         vec(s3, c_out), vec(b3, c_out),
         *proj_args,
     )
-    return out.reshape(nt, h, w, c_out)
+    return out.reshape(nt, h, *out_shape[3:])
 
 
 def tsm_bottleneck_reference(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,

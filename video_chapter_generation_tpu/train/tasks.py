@@ -49,9 +49,11 @@ def _vision(cfg: Config, tiny: bool, n_segment: int, dtype) -> ResNet:
     # fused/pallas mix for inference (PERF.md round-2 sweeps)
     if tiny:
         return ResNet(stage_sizes=(1, 1, 1, 1), n_segment=n_segment,
-                      tsm_impl=cfg.model.tsm_impl, dtype=dtype)
+                      tsm_impl=cfg.model.tsm_impl,
+                      remat=cfg.model.remat_vision, dtype=dtype)
     return ResNet(depth=50, n_segment=n_segment,
-                  tsm_impl=cfg.model.tsm_impl, dtype=dtype)
+                  tsm_impl=cfg.model.tsm_impl,
+                  remat=cfg.model.remat_vision, dtype=dtype)
 
 
 class _TaskBase:
