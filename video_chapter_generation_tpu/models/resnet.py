@@ -42,6 +42,22 @@ AUTO_TSM_IMPL = ("fusedall", "fusedall", "fusedall", "fusedall")
 FORCE_WHOLE_BLOCKS = False
 
 
+def _whole_fused(impl, n_segment, fuse_tsm, use_ra, stride, projection,
+                 h, w) -> bool:
+    """True when a bottleneck with these settings takes the whole-block
+    fused kernel (the single source of truth for Bottleneck's dispatch
+    AND ResNet's planar-chain planning — keep them in lockstep)."""
+    return (
+        impl in ("fusedblk", "fusedall")
+        and n_segment > 0 and fuse_tsm and use_ra
+        and (jax.default_backend() == "tpu" or FORCE_WHOLE_BLOCKS)
+        and (impl == "fusedall" or (stride == 1 and not projection))
+        # the stride-2 kernel assumes even input H/W (true for all real
+        # ResNet50 shapes; tiny test variants fall back)
+        and (stride == 1 or (h % 2 == 0 and w % 2 == 0))
+    )
+
+
 class TSMConv1x1(nn.Module):
     """Fused temporal-shift + 1x1 conv; parameter layout identical to
     nn.Conv(features, (1,1), use_bias=False) so weight converters and
@@ -141,6 +157,12 @@ class Bottleneck(nn.Module):
     # than the custom-vjp pallas kernel (bench_train.py, PERF.md round 2)
     tsm_impl_train: Optional[str] = None
     fold_bn_inference: Optional[bool] = None  # pallas impl only; None: auto
+    # planar inter-block chain (ResNet plans it): planar_out makes this
+    # block emit [NT, H, W/2, 2C] (adjacent columns packed into lanes);
+    # planar_in means x arrives in that layout and this block is the
+    # fused stride-2 consumer (tsm_bottleneck_s2_planar_pallas)
+    planar_out: bool = False
+    planar_in: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -166,6 +188,12 @@ class Bottleneck(nn.Module):
         impl = self.tsm_impl
         if not use_ra and self.tsm_impl_train is not None:
             impl = self.tsm_impl_train
+        if self.planar_in:
+            # x arrives pair-merged from a planar_out producer; only the
+            # fused stride-2 consumer understands that layout (ResNet
+            # plans the chain so both ends agree)
+            assert self.stride == 2 and self.projection
+            return self._whole_block(x, use_ra)
         if impl in ("fusedblk", "fusedall"):
             # "fusedblk": only plain residual blocks take the whole-block
             # kernel; "fusedall" additionally fuses projection and stride-2
@@ -173,17 +201,9 @@ class Bottleneck(nn.Module):
             # XLA-conv<->custom-call layout copies appear at block
             # boundaries (see PERF.md round 2: those copies cost ~21% of
             # model device time)
-            whole = (
-                self.n_segment > 0 and self.fuse_tsm and use_ra
-                and (jax.default_backend() == "tpu" or FORCE_WHOLE_BLOCKS)
-                and (impl == "fusedall"
-                     or (self.stride == 1 and not self.projection))
-                # the stride-2 kernel assumes even input H/W (true for all
-                # real ResNet50 shapes; tiny test variants fall back)
-                and (self.stride == 1
-                     or (x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0))
-            )
-            if whole:
+            if _whole_fused(impl, self.n_segment, self.fuse_tsm, use_ra,
+                            self.stride, self.projection,
+                            x.shape[1], x.shape[2]):
                 return self._whole_block(x, use_ra)
             impl = "pallas"
         auto_fold = impl == "pallas" and jax.default_backend() == "tpu"
@@ -229,9 +249,11 @@ class Bottleneck(nn.Module):
         from ..ops.tsm_block_pallas import (
             tsm_bottleneck_pallas,
             tsm_bottleneck_s2_pallas,
+            tsm_bottleneck_s2_planar_pallas,
         )
 
-        f, c = self.features, x.shape[-1]
+        f = self.features
+        c = x.shape[-1] // 2 if self.planar_in else x.shape[-1]
         w1 = _ConvKernel((1, 1, c, f), name="conv1")().astype(self.dtype)
         w2 = _ConvKernel((3, 3, f, f), name="conv2")().astype(self.dtype)
         w3 = _ConvKernel((1, 1, f, 4 * f), name="conv3")().astype(self.dtype)
@@ -250,12 +272,17 @@ class Bottleneck(nn.Module):
                              name="proj_conv")().astype(self.dtype)
             sp, bp = fold("proj_bn", 4 * f)
         if self.stride == 2:  # downsample block0 of layers 2-4
+            if self.planar_in:
+                return tsm_bottleneck_s2_planar_pallas(
+                    x, w1, w2, w3, s1, b1, s2, b2, s3, b3, wp, sp, bp,
+                    self.n_segment, self.n_div)
             return tsm_bottleneck_s2_pallas(
                 x, w1, w2, w3, s1, b1, s2, b2, s3, b3, wp, sp, bp,
                 self.n_segment, self.n_div)
         return tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
                                      self.n_segment, self.n_div,
-                                     wp=wp, sp=sp, bp=bp)
+                                     wp=wp, sp=sp, bp=bp,
+                                     planar_out=self.planar_out)
 
 
 class ResNet(nn.Module):
@@ -364,19 +391,48 @@ class ResNet(nn.Module):
         if self.remat and not use_ra:
             # static_argnums counts the module instance as arg 0
             block_cls = nn.remat(Bottleneck, static_argnums=(2, 3))
+
+        def impl_for(stage):
+            if self.tsm_impl == "auto":
+                return AUTO_TSM_IMPL[stage], "tap3"
+            if isinstance(self.tsm_impl, str):
+                return self.tsm_impl, None
+            return self.tsm_impl[stage], None
+
+        # planar inter-block chain planning: link stage s -> s+1 when the
+        # LAST block of s and the stride-2 block0 of s+1 both take fused
+        # kernels — the producer then stores pair-merged columns and the
+        # consumer skips the stride-2 column-selection relayout entirely
+        # (ops/tsm_block_pallas.py _kernel_s2_planar). Disabled when
+        # re-entering mid-backbone or capturing stage outputs (Grad-CAM
+        # consumers expect standard-layout activations).
+        links = [False] * len(sizes)
+        if from_stage == 0 and capture is None:
+            hs, ws = y.shape[1], y.shape[2]
+            for s in range(len(sizes) - 1):
+                i_s, _ = impl_for(s)
+                i_n, _ = impl_for(s + 1)
+                # producer = LAST block of stage s: must be a stride-1
+                # block (single-block stages of tiny variants make block0
+                # the stride-2 block itself — it cannot be both ends)
+                p_stride = 2 if (s > 0 and sizes[s] == 1) else 1
+                p_proj = sizes[s] == 1
+                links[s] = (
+                    ws % 2 == 0 and p_stride == 1
+                    and _whole_fused(i_s, self.n_segment, self.fuse_tsm,
+                                     use_ra, p_stride, p_proj, hs, ws)
+                    and _whole_fused(i_n, self.n_segment, self.fuse_tsm,
+                                     use_ra, 2, True, hs, ws)
+                )
+                hs, ws = hs // 2, ws // 2
+
         for stage, num_blocks in enumerate(sizes):
             if stage + 1 <= from_stage:
                 continue
             features = 64 * (2**stage)
             for block in range(num_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
-                if self.tsm_impl == "auto":
-                    impl = AUTO_TSM_IMPL[stage]
-                    impl_train = "tap3"
-                elif isinstance(self.tsm_impl, str):
-                    impl, impl_train = self.tsm_impl, None
-                else:
-                    impl, impl_train = self.tsm_impl[stage], None
+                impl, impl_train = impl_for(stage)
                 y = block_cls(
                     features=features,
                     stride=stride,
@@ -387,6 +443,9 @@ class ResNet(nn.Module):
                     tsm_impl=impl,
                     tsm_impl_train=impl_train,
                     fold_bn_inference=self.fold_bn_inference,
+                    planar_out=(block == num_blocks - 1 and links[stage]),
+                    planar_in=(block == 0 and stage > 0
+                               and links[stage - 1]),
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{block}",
                 )(y, train, bn_batch_stats)
