@@ -70,6 +70,23 @@ def test_fused_block_matches_reference(rows, fpad, conv1_mode, flat, width):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("nstack", [True, False], ids=["nstack", "3dot"])
+def test_flat_nstack_matches_reference(nstack):
+    # F=128 enables the N-stacked conv2 row-tap dot (nstack gate is
+    # F % 128 == 0); compare directly against the 3-dot formulation's
+    # reference at a real tile-aligned bottleneck width
+    rng = np.random.default_rng(3)
+    c = f = 128
+    p = _params(rng, c, f, c)
+    x = jnp.asarray(rng.standard_normal((2 * 2, H, W, c)) * 0.3,
+                    jnp.float32)
+    args = (x, p["w1"], p["w2"], p["w3"], *p["a1"], *p["a2"], *p["a3"], 2)
+    ref = tsm_bottleneck_reference(*args)
+    got = tsm_bottleneck_pallas(*args, tuning=dict(nstack=nstack))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("rows", [None, 4], ids=["whole", "tiled"])
 def test_fused_block_projection(rows, monkeypatch):
     if rows is not None:

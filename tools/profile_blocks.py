@@ -79,6 +79,10 @@ def make_fn(variant: str, p, t: int):
             tuning["conv1_mode"] = kv["conv1"]
         if "dimsem" in kv:
             tuning["dimsem"] = kv["dimsem"] or None
+        if "nstack" in kv:
+            tuning["nstack"] = bool(int(kv["nstack"]))
+        if "gblk" in kv:
+            tuning["gblk"] = int(kv["gblk"])
         return lambda x: tsm_bottleneck_pallas(x, *args_tail, tuning=tuning)
     raise SystemExit(f"unknown variant {name!r}")
 

@@ -92,6 +92,11 @@ DEFAULT_TUNING = dict(
     # batching samples needs only an extra clip-boundary mask on the
     # temporal-shift taps
     gblk=None,
+    # flat kernel conv2 row taps as ONE N-stacked [M,3F]x[3F,3F] dot with
+    # post-dot output shifts instead of 3 dots on shifted [M,3F] im2col
+    # tensors (same MXU tile-passes, ~2/3 less VPU tensor building);
+    # requires F % 128 == 0 — auto-disabled otherwise
+    nstack=True,
 )
 
 
@@ -240,7 +245,8 @@ def _kernel(x_ref, *refs, fold: int, halo: bool, proj: bool,
 
 def _kernel_flat(x_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref, s2_ref,
                  b2_ref, s3_ref, b3_ref, o_ref, *, fold: int, h: int,
-                 w: int, wt: int, planar: bool = False):
+                 w: int, wt: int, planar: bool = False,
+                 nstack: bool = False):
     """Whole-sample stride-1 non-projection bottleneck in FLAT [M, C]
     space (M = G*T*H*W; x_ref [G,T,H,W,C] — G whole samples per grid
     step, temporal taps masked at clip boundaries so samples never mix).
@@ -295,14 +301,32 @@ def _kernel_flat(x_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref, s2_ref,
     zc = jnp.concatenate([left, y1, right], axis=-1)  # [M, 3F]
     # row taps: shift by w, zeroed at image top/bottom rows
     rowidx = (jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) // w) % h
-    zw = jnp.zeros((w, 3 * f), dt)
-    top = jnp.where(rowidx == 0, 0.0,
-                    jnp.concatenate([zw, zc[: m - w]], axis=0)).astype(dt)
-    bot = jnp.where(rowidx == h - 1, 0.0,
-                    jnp.concatenate([zc[w:], zw], axis=0)).astype(dt)
-    acc = jnp.dot(zc, w2_ref[1], preferred_element_type=jnp.float32)
-    acc += jnp.dot(top, w2_ref[0], preferred_element_type=jnp.float32)
-    acc += jnp.dot(bot, w2_ref[2], preferred_element_type=jnp.float32)
+    if nstack:
+        # N-stacked row taps: ONE [M,3F]x[3F,3F] dot (w2_ref holds the 3
+        # tap weights concatenated on N), then row-shift the three F-lane
+        # OUTPUT slices and sum. Same MXU tile-passes as 3 separate dots,
+        # but the two extra [M,3F] shifted im2col tensors (top/bot) are
+        # never built — the shifts move to [M,F] f32 slices (F is a
+        # 128-lane multiple on every flat layer, so the slices and the
+        # adds are tile-aligned).
+        d = jnp.dot(zc, w2_ref[:], preferred_element_type=jnp.float32)
+        d0, d1, d2 = d[:, :f], d[:, f : 2 * f], d[:, 2 * f :]
+        zwf = jnp.zeros((w, f), jnp.float32)
+        top = jnp.where(rowidx == 0, 0.0,
+                        jnp.concatenate([zwf, d0[: m - w]], axis=0))
+        bot = jnp.where(rowidx == h - 1, 0.0,
+                        jnp.concatenate([d2[w:], zwf], axis=0))
+        acc = d1 + top + bot
+    else:
+        zw = jnp.zeros((w, 3 * f), dt)
+        top = jnp.where(rowidx == 0, 0.0,
+                        jnp.concatenate([zw, zc[: m - w]], axis=0)
+                        ).astype(dt)
+        bot = jnp.where(rowidx == h - 1, 0.0,
+                        jnp.concatenate([zc[w:], zw], axis=0)).astype(dt)
+        acc = jnp.dot(zc, w2_ref[1], preferred_element_type=jnp.float32)
+        acc += jnp.dot(top, w2_ref[0], preferred_element_type=jnp.float32)
+        acc += jnp.dot(bot, w2_ref[2], preferred_element_type=jnp.float32)
     y2 = jnp.maximum(acc.astype(dt) * s2_ref[0] + b2_ref[0], 0.0)
 
     y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
@@ -799,16 +823,24 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
                      else (b, t, h, w, c_out))
         out_block = ((gblk, t, h, wp8 // 2, 2 * c_out) if planar_out
                      else (gblk, t, h, wp8, c_out))
+        nstack = tune["nstack"] and f % 128 == 0
+        w2r = w2.reshape(3, 3 * f, f)
+        if nstack:  # stack the 3 row-tap weights on N: [3F, 3F]
+            w2flat = jnp.concatenate([w2r[0], w2r[1], w2r[2]], axis=1)
+            w2spec = flat_full((3 * f, 3 * f))
+        else:
+            w2flat = w2r
+            w2spec = flat_full((3, 3 * f, f))
         out = pl.pallas_call(
             functools.partial(_kernel_flat, fold=fold, h=h, w=wp8, wt=w,
-                              planar=planar_out),
+                              planar=planar_out, nstack=nstack),
             out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
             grid=(b // gblk,),
             in_specs=[
                 pl.BlockSpec((gblk, t, h, wp8, c),
                              lambda i: (i, 0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                flat_full((c, f)), flat_full((3, 3 * f, f)),
+                flat_full((c, f)), w2spec,
                 flat_full((f, c_out)),
                 flat_full((1, f)), flat_full((1, f)),
                 flat_full((1, f)), flat_full((1, f)),
@@ -824,7 +856,7 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
             ),
             interpret=jax.default_backend() != "tpu",
         )(
-            x5, w1, w2.reshape(3, 3 * f, f), w3,
+            x5, w1, w2flat, w3,
             vec(s1, f), vec(b1, f), vec(s2, f), vec(b2, f),
             vec(s3, c_out), vec(b3, c_out),
         )
