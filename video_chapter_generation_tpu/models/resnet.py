@@ -113,9 +113,12 @@ class _BNParams(nn.Module):
     """Declares BatchNorm-compatible variables (params scale/bias,
     batch_stats mean/var) WITHOUT computing — used to fold inference BN
     into the fused TSM-conv kernel epilogue while keeping checkpoints
-    interchangeable with nn.BatchNorm."""
+    interchangeable with nn.BatchNorm. With mutable=True returns the
+    variable OBJECTS instead of values so the caller can write the
+    running-average update (training fused path)."""
 
     features: int
+    mutable: bool = False
 
     @nn.compact
     def __call__(self):
@@ -125,6 +128,8 @@ class _BNParams(nn.Module):
                              lambda: jnp.zeros(self.features))
         var = self.variable("batch_stats", "var",
                             lambda: jnp.ones(self.features))
+        if self.mutable:
+            return scale, bias, mean, var
         return scale, bias, mean.value, var.value
 
 
@@ -194,6 +199,21 @@ class Bottleneck(nn.Module):
             # plans the chain so both ends agree)
             assert self.stride == 2 and self.projection
             return self._whole_block(x, use_ra)
+        if impl == "fusedtrain":
+            # training-mode fused whole-block kernels (batch-stat BN
+            # accumulated in-kernel + hand-written Pallas VJP,
+            # ops/tsm_block_train_pallas.py) for stride-1 non-projection
+            # blocks; other blocks fall back to tap3. At inference this
+            # impl behaves like "fusedall".
+            if use_ra:
+                impl = "fusedall"
+            elif (self.stride == 1 and not self.projection
+                  and self.n_segment > 0 and self.fuse_tsm
+                  and (jax.default_backend() == "tpu"
+                       or FORCE_WHOLE_BLOCKS)):
+                return self._whole_block_train(x)
+            else:
+                impl = "tap3"
         if impl in ("fusedblk", "fusedall"):
             # "fusedblk": only plain residual blocks take the whole-block
             # kernel; "fusedall" additionally fuses projection and stride-2
@@ -283,6 +303,36 @@ class Bottleneck(nn.Module):
                                      self.n_segment, self.n_div,
                                      wp=wp, sp=sp, bp=bp,
                                      planar_out=self.planar_out)
+
+    def _whole_block_train(self, x):
+        """Training fast path: the bottleneck's three convs fused with
+        temporal shift, in-kernel batch-stat accumulation and a full
+        Pallas custom VJP (ops/tsm_block_train_pallas.py). Parameter and
+        batch_stats trees identical to the standard path; running
+        averages updated with nn.BatchNorm's convention (momentum 0.9,
+        biased batch variance)."""
+        from ..ops.tsm_block_train_pallas import tsm_bottleneck_train
+
+        f = self.features
+        c = x.shape[-1]
+        dt = self.dtype
+        w1 = _ConvKernel((1, 1, c, f), name="conv1")().astype(dt)
+        w2 = _ConvKernel((3, 3, f, f), name="conv2")().astype(dt)
+        w3 = _ConvKernel((1, 1, f, 4 * f), name="conv3")().astype(dt)
+        bns = [_BNParams(n, mutable=True, name=name)()
+               for name, n in (("bn1", f), ("bn2", f), ("bn3", 4 * f))]
+        y, stats = tsm_bottleneck_train(
+            x.astype(dt), w1, w2, w3,
+            bns[0][0], bns[0][1], bns[1][0], bns[1][1],
+            bns[2][0], bns[2][1],
+            self.n_segment, self.n_div, 1e-5)
+        if not self.is_initializing():
+            mom = 0.9
+            for (mu, var), (_, _, mean_v, var_v) in zip(
+                    [stats[0:2], stats[2:4], stats[4:6]], bns):
+                mean_v.value = mom * mean_v.value + (1 - mom) * mu
+                var_v.value = mom * var_v.value + (1 - mom) * var
+        return y
 
 
 class ResNet(nn.Module):

@@ -1,0 +1,761 @@
+"""Pallas TPU kernels: TRAINING-mode fused ResNet-TSM bottleneck.
+
+The inference whole-block kernels (ops/tsm_block_pallas.py) cannot be used
+under grad: they fold BatchNorm into precomputed scale/bias, but training
+BN normalizes with the CURRENT batch's statistics, which depend on the
+very conv outputs the kernel is fusing — a one-pass whole-block kernel is
+mathematically impossible with batch-stat BN. The reference trains with
+exactly those semantics (torch BatchNorm in train mode) and hand-writes an
+in-place autograd Function purely to make the temporal shift's *training*
+memory cheap (/root/reference/video_chapter_generation/ops/
+temporal_shift.py:54-81). This module is the TPU-native answer for the
+training path, superseding the 3-tap-conv fallback that paid 3x conv1
+input reads and left BN reductions as separate XLA passes (PERF.md
+round-3 training profile: conv fusions ~52%, BN reduce+copies ~12%, tap3
+fusions ~22%).
+
+Design — three fused kernels per direction with full-batch stat barriers
+between them (the minimum legal structure):
+
+forward (per stride-1 non-projection bottleneck):
+  FK1  u = conv1(tshift(x))                 + accumulate (sum u, sum u^2)
+  FK2  z = conv2_3x3(relu(bn1-apply(u)))    + accumulate moments of z
+  FK3  p = conv3(relu(bn2-apply(z)))        + accumulate moments of p
+  XLA  y = relu(bn3-apply(p) + x)           (elementwise; XLA fuses)
+BN apply uses scale/bias vectors finalized from the accumulated moments
+between kernels (tiny [F]-sized XLA math) — the batch-stat reductions ride
+along inside the conv kernels' epilogues instead of re-reading the conv
+outputs from HBM.
+
+backward (jax.custom_vjp; residuals = x, u, z, p, y + the batch stats):
+  XLA  dq = dy * (y>0); BN3 backward moments (one fused pass)
+  BK3  dp = bn3-bwd-apply; da2 = (dp @ w3^T) * relu'(y2)
+       + accumulate dw3 = y2^T dp and the BN2 backward moments
+  BK2  dz = bn2-bwd-apply; da1 = conv2^T(dz) * relu'(y1)
+       + accumulate dw2 (9-tap im2col-transpose dots) and BN1 moments
+  BK1  du = bn1-bwd-apply; dx = untshift(du @ w1^T) + dq
+       + accumulate dw1 = tshift(x)^T du
+BN backward needs two batch reductions of the incoming gradient BEFORE it
+can be applied, so each BK kernel computes the NEXT stage's reduction in
+its epilogue (it already holds the tensors), leaving only scalar math
+between kernels.
+
+Tiling: grid (batch, row_tiles); blocks are 4-D [1, T, R, Wp, C] with the
+block width sublane-padded (Wp = ceil(W/8)*8, ragged blocks) so every
+[T,R,Wp,C] <-> [M,C] reshape around a dot is relayout-free at ALL ResNet50
+widths (56/28/14/7) — the same trick as the inference flat kernels, but
+row-tiled, which also covers layer1 (whose samples exceed VMEM). The 3x3
+taps read +-1 halo rows supplied as clamped 1-row blocks (zeroed at true
+image edges = SAME zero padding; for the transposed conv in BK2 the same
+zeroing is the transpose of SAME padding). All accumulators (moments [2,F],
+weight grads) are f32 outputs with constant index maps, initialized on the
+first grid step and accumulated across the sequential TPU grid
+(dimension_semantics "arbitrary").
+
+Numerics match the standard flax path (nn.BatchNorm: biased batch var,
+eps 1e-5, stats in f32, bn output cast to the compute dtype before the
+residual add): tests/test_tsm_block_train_pallas.py checks forward, grads
+and stats against jax.grad of a pure-XLA reference at f32, plus the model-
+level path against the tap3 training stack.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pad8(w: int) -> int:
+    return -(-w // 8) * 8
+
+
+FORCE_ROWS = None  # test hook: force every kernel's row-tile size
+
+
+def _rows_divisor(h: int, bytes_per_row: int,
+                  budget: int = 24 * 1024 * 1024) -> int:
+    """Largest divisor of h whose tile fits the VMEM budget."""
+    if FORCE_ROWS is not None:
+        assert h % FORCE_ROWS == 0, (h, FORCE_ROWS)
+        return FORCE_ROWS
+    rows = max(1, min(h, budget // max(bytes_per_row, 1)))
+    while h % rows:
+        rows -= 1
+    return rows
+
+
+def _first_step():
+    return jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+
+def _col_lt(shape_w: int, wt: int):
+    """[1,1,Wp,1] mask of true (non-pad) columns."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, shape_w, 1), 2)
+    return col < wt
+
+
+def _moments(v4, wt, m_ref):
+    """Accumulate masked f32 (sum, sum^2) of v4 [T,R,Wp,F] into m_ref
+    [2,F]."""
+    t, r, wp, f = v4.shape
+    vm = jnp.where(_col_lt(wp, wt), v4.astype(jnp.float32), 0.0)
+    v2 = vm.reshape(t * r * wp, f)
+    s = jnp.sum(v2, axis=0, keepdims=True)
+    s2 = jnp.sum(v2 * v2, axis=0, keepdims=True)
+
+    @pl.when(_first_step())
+    def _init():
+        m_ref[:] = jnp.zeros_like(m_ref)
+
+    m_ref[:] += jnp.concatenate([s, s2], axis=0)
+
+
+def _acc_init(ref):
+    @pl.when(_first_step())
+    def _init():
+        ref[:] = jnp.zeros_like(ref)
+
+
+def _tshift_diff(x4, fold: int):
+    """Temporal pair-diff d [T,R,Wp,2*fold]: lanes [0,fold) need the NEXT
+    frame, lanes [fold,2fold) the PREVIOUS (zero at clip edges); d is the
+    correction conv1 adds on the first 2*fold input channels
+    (tsm_conv_pallas.py _kernel_correction algebra)."""
+    t = x4.shape[0]
+    x2 = x4[..., : 2 * fold]
+    z2 = jnp.zeros_like(x2[:1])
+    nxt = jnp.concatenate([x2[1:], z2], axis=0)
+    prv = jnp.concatenate([z2, x2[: t - 1]], axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 2 * fold), 3)
+    return (jnp.where(lane < fold, nxt, prv) - x2).astype(x4.dtype)
+
+
+def _dotT(a2, b2):
+    """[M,A]^T @ [M,B] -> [A,B] f32 (contraction on the leading dim)."""
+    return jax.lax.dot_general(
+        a2, b2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _im2col_w(src):
+    """Width-im2col of src [T,R+2,Wp,F] (pad columns ZEROED by the
+    caller) -> [T, R+2, Wp, 3F] (dc-major lanes: left, center, right)."""
+    t, r2, wp, f = src.shape
+    zcol = jnp.zeros((t, r2, 1, f), src.dtype)
+    return jnp.concatenate(
+        [
+            jnp.concatenate([zcol, src[:, :, :-1]], axis=2),
+            src,
+            jnp.concatenate([src[:, :, 1:], zcol], axis=2),
+        ],
+        axis=-1,
+    )
+
+
+def _conv2_taps(zc, w2_ref, r):
+    """SAME 3x3 conv from the im2col tensor zc [T,R+2,Wp,3F] with w2_ref
+    [3, 3F, F] (dr-major, dc-major K): 3 row-ranged dots -> f32
+    [T*R*Wp, F]."""
+    t, r2, wp, f3 = zc.shape
+    m = t * r * wp
+    acc = jnp.dot(zc[:, 1 : r + 1].reshape(m, f3), w2_ref[1],
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(zc[:, :r].reshape(m, f3), w2_ref[0],
+                   preferred_element_type=jnp.float32)
+    acc += jnp.dot(zc[:, 2 : r + 2].reshape(m, f3), w2_ref[2],
+                   preferred_element_type=jnp.float32)
+    return acc
+
+
+def _bn_apply_relu(v4, sa_ref, sb_ref, dt):
+    """relu(sa*v + sb) in f32, cast to dt (flax BatchNorm promotes to f32
+    and casts the normalized output back to the compute dtype)."""
+    y = v4.astype(jnp.float32) * sa_ref[0] + sb_ref[0]
+    return jnp.maximum(y, 0.0).astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# forward kernels
+# ---------------------------------------------------------------------------
+
+
+def _fk1(x_ref, w1_ref, u_ref, m_ref, *, fold: int, wt: int):
+    """u = conv1(tshift(x)) + moments. x_ref [1,T,R,Wp,C] ->
+    u_ref [1,T,R,Wp,F], m_ref [2,F] f32 accumulator."""
+    t, r, wp, c = x_ref.shape[1:]
+    f = w1_ref.shape[1]
+    dt = u_ref.dtype
+    x = x_ref[0]
+    m = t * r * wp
+    acc = jnp.dot(x.reshape(m, c), w1_ref[:],
+                  preferred_element_type=jnp.float32)
+    d = _tshift_diff(x, fold)
+    acc += jnp.dot(d.reshape(m, 2 * fold), w1_ref[: 2 * fold],
+                   preferred_element_type=jnp.float32)
+    u4 = acc.astype(dt).reshape(t, r, wp, f)
+    u_ref[0] = u4
+    _moments(u4, wt, m_ref)
+
+
+def _fk2(u_ref, top_ref, bot_ref, sa_ref, sb_ref, w2_ref, z_ref, m_ref,
+         *, wt: int):
+    """z = conv2_3x3(relu(bn1-apply(u))) + moments. Halo rows as clamped
+    1-row blocks, zeroed (in y1 space) at the true image edges."""
+    t, r, wp, f = u_ref.shape[1:]
+    dt = z_ref.dtype
+    j = pl.program_id(1)
+    n = pl.num_programs(1)
+    cmask = _col_lt(wp, wt)
+
+    def y1(part):
+        v = _bn_apply_relu(part, sa_ref, sb_ref, dt)
+        return jnp.where(cmask, v, 0.0).astype(dt)
+
+    topm = jnp.where(j == 0, 0.0, 1.0).astype(dt)
+    botm = jnp.where(j == n - 1, 0.0, 1.0).astype(dt)
+    y1e = jnp.concatenate(
+        [topm * y1(top_ref[0]), y1(u_ref[0]), botm * y1(bot_ref[0])],
+        axis=1,
+    )  # [T, R+2, Wp, F]
+    acc = _conv2_taps(_im2col_w(y1e), w2_ref, r)
+    z4 = acc.astype(dt).reshape(t, r, wp, f)
+    z_ref[0] = z4
+    _moments(z4, wt, m_ref)
+
+
+def _fk3(z_ref, sa_ref, sb_ref, w3_ref, p_ref, m_ref, *, wt: int):
+    """p = conv3(relu(bn2-apply(z))) + moments."""
+    t, r, wp, f = z_ref.shape[1:]
+    c_out = w3_ref.shape[1]
+    dt = p_ref.dtype
+    y2 = _bn_apply_relu(z_ref[0], sa_ref, sb_ref, dt)
+    m = t * r * wp
+    acc = jnp.dot(y2.reshape(m, f), w3_ref[:],
+                  preferred_element_type=jnp.float32)
+    p4 = acc.astype(dt).reshape(t, r, wp, c_out)
+    p_ref[0] = p4
+    _moments(p4, wt, m_ref)
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bk3(dq_ref, p_ref, z_ref, a3_ref, e3_ref, f3_ref, sa2_ref, sb2_ref,
+         mu2_ref, w3t_ref, da2_ref, dw3_ref, m_ref, *, wt: int):
+    """dp = bn3-bwd-apply(dq, p); da2 = (dp @ w3^T) * relu'(y2);
+    accumulate dw3 = y2^T dp and BN2 backward moments (sum da2,
+    sum da2*(z-mu2) — centered)."""
+    t, r, wp, c_out = dq_ref.shape[1:]
+    f = w3t_ref.shape[1]
+    dt = da2_ref.dtype
+    m = t * r * wp
+    cmask = _col_lt(wp, wt)
+
+    dp = (dq_ref[0].astype(jnp.float32) * a3_ref[0]
+          + p_ref[0].astype(jnp.float32) * e3_ref[0] + f3_ref[0])
+    dp = jnp.where(cmask, dp, 0.0)
+    dpb = dp.astype(dt).reshape(m, c_out)
+
+    zm = jnp.where(cmask, z_ref[0], 0.0).astype(dt)
+    y2 = _bn_apply_relu(zm, sa2_ref, sb2_ref, dt)
+    y2 = jnp.where(cmask, y2, 0.0).astype(dt)  # pad cols: relu(sb2) != 0
+
+    dy2 = jnp.dot(dpb, w3t_ref[:], preferred_element_type=jnp.float32)
+    da2 = jnp.where(y2.reshape(m, f) > 0, dy2, 0.0).astype(dt)
+    da2_ref[0] = da2.reshape(t, r, wp, f)
+
+    _acc_init(dw3_ref)
+    dw3_ref[:] += _dotT(y2.reshape(m, f), dpb)
+
+    da2f = da2.astype(jnp.float32)
+    # centered product (da2f is exactly 0 at pad columns, and zm was
+    # masked, so pad contributions are 0*(-mu2) = 0)
+    zc32 = zm.reshape(m, f).astype(jnp.float32) - mu2_ref[0]
+    s = jnp.sum(da2f, axis=0, keepdims=True)
+    s1 = jnp.sum(da2f * zc32, axis=0, keepdims=True)
+    _acc_init(m_ref)
+    m_ref[:] += jnp.concatenate([s, s1], axis=0)
+
+
+def _bk2(da2_ref, t_da2, b_da2, z_ref, t_z, b_z, u_ref, t_u, b_u,
+         a2_ref, e2_ref, f2_ref, sa1_ref, sb1_ref, mu1_ref, w2b_ref,
+         da1_ref, dw2_ref, m_ref, *, wt: int):
+    """dz = bn2-bwd-apply(da2, z); da1 = conv2^T(dz) * relu'(y1);
+    accumulate dw2[dr] = im2col(y1)[rows dr:dr+R]^T dz and BN1 backward
+    moments. conv2^T is a SAME conv of dz with the flipped-transposed taps
+    (w2b[dr,dc] = w2[2-dr,2-dc]^T, packed [3,3F,F] like the forward); its
+    zero padding is the transpose of the forward's SAME padding, so halo
+    rows are zeroed at true image edges exactly as in FK2."""
+    t, r, wp, f = da2_ref.shape[1:]
+    dt = da1_ref.dtype
+    j = pl.program_id(1)
+    n = pl.num_programs(1)
+    m = t * r * wp
+    cmask = _col_lt(wp, wt)
+    topm = jnp.where(j == 0, 0.0, 1.0).astype(dt)
+    botm = jnp.where(j == n - 1, 0.0, 1.0).astype(dt)
+
+    def ext(tile_ref, top_ref, bot_ref, fn):
+        return jnp.concatenate(
+            [topm * fn(top_ref[0]), fn(tile_ref[0]), botm * fn(bot_ref[0])],
+            axis=1,
+        )
+
+    def dz_of(da2p, zp):
+        v = (da2p.astype(jnp.float32) * a2_ref[0]
+             + zp.astype(jnp.float32) * e2_ref[0] + f2_ref[0])
+        return jnp.where(cmask, v, 0.0).astype(dt)
+
+    # dz on tile + halos (halo rows are real rows except at image edges,
+    # where dz is zero — the conv-transpose's padding)
+    dze = jnp.concatenate(
+        [
+            topm * dz_of(t_da2[0], t_z[0]),
+            dz_of(da2_ref[0], z_ref[0]),
+            botm * dz_of(b_da2[0], b_z[0]),
+        ],
+        axis=1,
+    )  # [T, R+2, Wp, F]
+
+    def y1_of(up):
+        v = _bn_apply_relu(up, sa1_ref, sb1_ref, dt)
+        return jnp.where(cmask, v, 0.0).astype(dt)
+
+    y1e = ext(u_ref, t_u, b_u, y1_of)  # [T, R+2, Wp, F]
+
+    # data grad: SAME conv of dz with the flipped-transposed taps
+    acc = _conv2_taps(_im2col_w(dze), w2b_ref, r)
+    y1 = y1e[:, 1 : r + 1].reshape(m, f)
+    da1 = jnp.where(y1 > 0, acc, 0.0).astype(dt)
+    da1_ref[0] = da1.reshape(t, r, wp, f)
+
+    # weight grad: dw2[dr] = zc(y1_ext)[:, dr:dr+R]^T @ dz_tile
+    zc_y = _im2col_w(y1e)
+    dzb = dze[:, 1 : r + 1].reshape(m, f)
+    _acc_init(dw2_ref)
+    for dr in range(3):
+        dw2_ref[dr] += _dotT(zc_y[:, dr : dr + r].reshape(m, 3 * f), dzb)
+
+    da1f = da1.astype(jnp.float32)
+    # centered (da1f is exactly 0 at pad columns)
+    um = jnp.where(cmask, u_ref[0], 0.0).astype(jnp.float32).reshape(m, f)
+    s = jnp.sum(da1f, axis=0, keepdims=True)
+    s1 = jnp.sum(da1f * (um - mu1_ref[0]), axis=0, keepdims=True)
+    _acc_init(m_ref)
+    m_ref[:] += jnp.concatenate([s, s1], axis=0)
+
+
+def _bk1(da1_ref, u_ref, x_ref, dq_ref, a1_ref, e1_ref, f1_ref, w1t_ref,
+         dx_ref, dw1_ref, *, fold: int, wt: int):
+    """du = bn1-bwd-apply(da1, u); dx = untshift(du @ w1^T) + dq;
+    accumulate dw1 = tshift(x)^T du (= x^T du + pair-diff correction on
+    the first 2*fold rows — the transpose of the forward's correction
+    dot)."""
+    t, r, wp, f = da1_ref.shape[1:]
+    c = x_ref.shape[4]
+    dt = dx_ref.dtype
+    m = t * r * wp
+    cmask = _col_lt(wp, wt)
+
+    du = (da1_ref[0].astype(jnp.float32) * a1_ref[0]
+          + u_ref[0].astype(jnp.float32) * e1_ref[0] + f1_ref[0])
+    du = jnp.where(cmask, du, 0.0)
+    dub = du.astype(dt).reshape(m, f)
+
+    dxm = jnp.dot(dub, w1t_ref[:], preferred_element_type=jnp.float32)
+    dxm4 = dxm.astype(dt).reshape(t, r, wp, c)
+    # transpose of the temporal shift: lanes [0,fold) read x[t+1] in the
+    # forward, so their dx[t] receives du[t-1] (and vice versa for lanes
+    # [fold,2fold)); remaining lanes pass through.
+    x2 = dxm4[..., : 2 * fold]
+    z2 = jnp.zeros_like(x2[:1])
+    prv = jnp.concatenate([z2, x2[: t - 1]], axis=0)
+    nxt = jnp.concatenate([x2[1:], z2], axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 2 * fold), 3)
+    sh = jnp.where(lane < fold, prv, nxt).astype(dt)
+    dx4 = jnp.concatenate([sh, dxm4[..., 2 * fold :]], axis=-1)
+    dx_ref[0] = dx4 + dq_ref[0]
+
+    xm = jnp.where(cmask, x_ref[0], 0.0).astype(dt)
+    part = _dotT(xm.reshape(m, c), dub)  # [C, F]
+    d = _tshift_diff(xm, fold)  # [T,R,Wp,2fold]
+    part2 = _dotT(d.reshape(m, 2 * fold), dub)  # [2fold, F]
+    corr = jnp.concatenate(
+        [part2, jnp.zeros((c - 2 * fold, f), jnp.float32)], axis=0)
+    _acc_init(dw1_ref)
+    dw1_ref[:] += part + corr
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+
+def _vmem_params():
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=110 * 1024 * 1024,
+        dimension_semantics=("arbitrary", "arbitrary"),
+    )
+
+
+def _specs(b, t, rows, wp, chans, h):
+    """(tile spec, top-halo spec, bot-halo spec) for a [b,t,h,w,chans]
+    operand tiled over (batch, row tiles)."""
+    tile = pl.BlockSpec((1, t, rows, wp, chans),
+                        lambda i, j: (i, 0, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    top = pl.BlockSpec((1, t, 1, wp, chans),
+                       lambda i, j: (i, 0, jnp.maximum(j * rows - 1, 0),
+                                     0, 0),
+                       memory_space=pltpu.VMEM)
+    bot = pl.BlockSpec((1, t, 1, wp, chans),
+                       lambda i, j: (i, 0,
+                                     jnp.minimum(j * rows + rows, h - 1),
+                                     0, 0),
+                       memory_space=pltpu.VMEM)
+    return tile, top, bot
+
+
+def _const(shape):
+    return pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _vec(v, n):
+    return jnp.asarray(v, jnp.float32).reshape(1, n)
+
+
+def _finalize_stats(msum, M, eps):
+    """(sum, sum^2) [2,F] -> mu, var (biased), sa = 1/sigma-scale pieces."""
+    mu = msum[0] / M
+    var = msum[1] / M - mu * mu
+    return mu, var
+
+
+def _bn_vectors(gamma, mu, var, beta, eps):
+    r = jax.lax.rsqrt(var + eps)
+    sa = gamma.astype(jnp.float32) * r
+    sb = beta.astype(jnp.float32) - mu * sa
+    return sa, sb
+
+
+def _bn_bwd_vectors(gamma, mu, var, s0, s1c, M, eps):
+    """BN backward as du = A*da + E*u + F from the moments s0 = sum(da),
+    s1c = sum(da*(u-mu)) (CENTERED in the accumulating kernel —
+    sum(da*u)-mu*sum(da) cancels catastrophically at real scales):
+      du = g*r*(da - mean(da) - xhat*mean(da*xhat)),
+      mean(da*xhat) = r*s1c/M.
+    Also returns (dgamma = sum(da*xhat), dbeta = sum(da))."""
+    r = jax.lax.rsqrt(var + eps)
+    g = gamma.astype(jnp.float32)
+    a = g * r
+    t0 = s0 / M
+    t1 = r * s1c / M
+    e = -a * t1 * r
+    fv = -a * t0 + a * t1 * r * mu
+    dgamma = r * s1c
+    dbeta = s0
+    return a, e, fv, dgamma, dbeta
+
+
+def _pack_w2(w2, dt):
+    """[3,3,F,F] HWIO -> [3, 3F, F] (dr-major rows, dc-major K)."""
+    f = w2.shape[-1]
+    return w2.reshape(3, 3 * f, f).astype(dt)
+
+
+def _pack_w2_bwd(w2, dt):
+    """Flipped-transposed taps for the conv2 data grad: w2b[dr,dc] =
+    w2[2-dr,2-dc]^T, packed [3, 3F, F]."""
+    w2b = w2[::-1, ::-1].transpose(0, 1, 3, 2)
+    f = w2b.shape[-1]
+    return w2b.reshape(3, 3 * f, f).astype(dt)
+
+
+def _forward(x, w1, w2, w3, g1, be1, g2, be2, g3, be3, n_segment, n_div,
+             eps):
+    nt, h, w, c = x.shape
+    t = n_segment
+    b = nt // t
+    dt = x.dtype
+    es = dt.itemsize if hasattr(dt, "itemsize") else jnp.dtype(dt).itemsize
+    w1 = w1.reshape(c, -1).astype(dt)
+    f = w1.shape[1]
+    w2 = w2.reshape(3, 3, f, f)
+    w3 = w3.reshape(f, -1).astype(dt)
+    c_out = w3.shape[1]
+    assert c_out == c, "training fused block covers non-projection blocks"
+    fold = c // n_div
+    wp = _pad8(w)
+    M = nt * h * w
+    x5 = x.reshape(b, t, h, w, c)
+    interp = jax.default_backend() != "tpu"
+
+    # FK1: conv1 + shift + moments ------------------------------------
+    bpr1 = t * wp * es * (2 * c + 2 * f) + t * wp * 4 * f
+    rows1 = _rows_divisor(h, bpr1)
+    tile_x, _, _ = _specs(b, t, rows1, wp, c, h)
+    u5, m1 = pl.pallas_call(
+        functools.partial(_fk1, fold=fold, wt=w),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, h, w, f), dt),
+            jax.ShapeDtypeStruct((2, f), jnp.float32),
+        ),
+        grid=(b, h // rows1),
+        in_specs=[tile_x, _const((c, f))],
+        out_specs=(
+            pl.BlockSpec((1, t, rows1, wp, f), lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const((2, f)),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=interp,
+    )(x5, w1)
+    mu1, var1 = _finalize_stats(m1, M, eps)
+    sa1, sb1 = _bn_vectors(g1, mu1, var1, be1, eps)
+
+    # FK2: bn1 apply + relu + 3x3 conv + moments ----------------------
+    bpr2 = t * wp * es * (2 * f + 2 * f + 2 * 3 * f) + t * wp * 4 * f
+    rows2 = _rows_divisor(h, bpr2)
+    tile_u, top_u, bot_u = _specs(b, t, rows2, wp, f, h)
+    z5, m2 = pl.pallas_call(
+        functools.partial(_fk2, wt=w),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, h, w, f), dt),
+            jax.ShapeDtypeStruct((2, f), jnp.float32),
+        ),
+        grid=(b, h // rows2),
+        in_specs=[tile_u, top_u, bot_u, _const((1, f)), _const((1, f)),
+                  _const((3, 3 * f, f))],
+        out_specs=(
+            pl.BlockSpec((1, t, rows2, wp, f), lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const((2, f)),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=interp,
+    )(u5, u5, u5, _vec(sa1, f), _vec(sb1, f), _pack_w2(w2, dt))
+    mu2, var2 = _finalize_stats(m2, M, eps)
+    sa2, sb2 = _bn_vectors(g2, mu2, var2, be2, eps)
+
+    # FK3: bn2 apply + relu + conv3 + moments -------------------------
+    bpr3 = t * wp * es * (2 * f + 2 * c_out) + t * wp * 4 * c_out
+    rows3 = _rows_divisor(h, bpr3)
+    tile_z, _, _ = _specs(b, t, rows3, wp, f, h)
+    p5, m3 = pl.pallas_call(
+        functools.partial(_fk3, wt=w),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, h, w, c_out), dt),
+            jax.ShapeDtypeStruct((2, c_out), jnp.float32),
+        ),
+        grid=(b, h // rows3),
+        in_specs=[tile_z, _const((1, f)), _const((1, f)),
+                  _const((f, c_out))],
+        out_specs=(
+            pl.BlockSpec((1, t, rows3, wp, c_out),
+                         lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const((2, c_out)),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=interp,
+    )(z5, _vec(sa2, f), _vec(sb2, f), w3)
+    mu3, var3 = _finalize_stats(m3, M, eps)
+    sa3, sb3 = _bn_vectors(g3, mu3, var3, be3, eps)
+
+    # finale (XLA fuses the elementwise chain)
+    u = u5.reshape(nt, h, w, f)
+    z = z5.reshape(nt, h, w, f)
+    p = p5.reshape(nt, h, w, c_out)
+    a3 = (p.astype(jnp.float32) * sa3 + sb3).astype(dt)
+    y = jnp.maximum(a3 + x, 0.0)
+    stats = (mu1, var1, mu2, var2, mu3, var3)
+    return y, stats, (x, u, z, p, y)
+
+
+def _backward(n_segment, n_div, eps, res, dy):
+    (x, u, z, p, y, stats, w1o, w2o, w3o, g1, be1, g2, be2, g3, be3) = res
+    mu1, var1, mu2, var2, mu3, var3 = stats
+    nt, h, w, c = x.shape
+    t = n_segment
+    b = nt // t
+    dt = x.dtype
+    es = jnp.dtype(dt).itemsize
+    w1 = w1o.reshape(c, -1).astype(dt)
+    f = w1.shape[1]
+    w2 = w2o.reshape(3, 3, f, f)
+    w3 = w3o.reshape(f, -1).astype(dt)
+    c_out = c
+    fold = c // n_div
+    wp = _pad8(w)
+    M = nt * h * w
+    interp = jax.default_backend() != "tpu"
+
+    # XLA: relu mask + BN3 backward moments (one fused pass over dy,y,p;
+    # the u-moment is centered — see _bn_bwd_vectors)
+    dq = jnp.where(y > 0, dy, 0).astype(dt)
+    dqf = dq.astype(jnp.float32)
+    s0_3 = jnp.sum(dqf, axis=(0, 1, 2))
+    s1_3 = jnp.sum(dqf * (p.astype(jnp.float32) - mu3), axis=(0, 1, 2))
+    a3, e3, f3, dg3, dbe3 = _bn_bwd_vectors(g3, mu3, var3, s0_3, s1_3, M,
+                                            eps)
+    sa1, sb1 = _bn_vectors(g1, mu1, var1, be1, eps)
+    sa2, sb2 = _bn_vectors(g2, mu2, var2, be2, eps)
+
+    dq5 = dq.reshape(b, t, h, w, c_out)
+    p5 = p.reshape(b, t, h, w, c_out)
+    z5 = z.reshape(b, t, h, w, f)
+    u5 = u.reshape(b, t, h, w, f)
+    x5 = x.reshape(b, t, h, w, c)
+
+    # BK3 ---------------------------------------------------------------
+    bpr = t * wp * es * (2 * c_out * 2 + 2 * f * 2) + t * wp * 4 * c_out
+    rows = _rows_divisor(h, bpr)
+    tile_q, _, _ = _specs(b, t, rows, wp, c_out, h)
+    tile_zf, _, _ = _specs(b, t, rows, wp, f, h)
+    da2_5, dw3, mda2 = pl.pallas_call(
+        functools.partial(_bk3, wt=w),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, h, w, f), dt),
+            jax.ShapeDtypeStruct((f, c_out), jnp.float32),
+            jax.ShapeDtypeStruct((2, f), jnp.float32),
+        ),
+        grid=(b, h // rows),
+        in_specs=[tile_q, tile_q, tile_zf,
+                  _const((1, c_out)), _const((1, c_out)),
+                  _const((1, c_out)),
+                  _const((1, f)), _const((1, f)), _const((1, f)),
+                  _const((c_out, f))],
+        out_specs=(
+            pl.BlockSpec((1, t, rows, wp, f), lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const((f, c_out)),
+            _const((2, f)),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=interp,
+    )(dq5, p5, z5, _vec(a3, c_out), _vec(e3, c_out), _vec(f3, c_out),
+      _vec(sa2, f), _vec(sb2, f), _vec(mu2, f),
+      w3.reshape(f, c_out).T.astype(dt))
+    s0_2, s1_2 = mda2[0], mda2[1]
+    a2, e2, f2v, dg2, dbe2 = _bn_bwd_vectors(g2, mu2, var2, s0_2, s1_2, M,
+                                             eps)
+
+    # BK2 ---------------------------------------------------------------
+    bpr = t * wp * es * (3 * 2 * f + 2 * f + 4 * 3 * f) + t * wp * 4 * f
+    rows = _rows_divisor(h, bpr)
+    tile_f, top_f, bot_f = _specs(b, t, rows, wp, f, h)
+    da1_5, dw2p, mda1 = pl.pallas_call(
+        functools.partial(_bk2, wt=w),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, h, w, f), dt),
+            jax.ShapeDtypeStruct((3, 3 * f, f), jnp.float32),
+            jax.ShapeDtypeStruct((2, f), jnp.float32),
+        ),
+        grid=(b, h // rows),
+        in_specs=[tile_f, top_f, bot_f,
+                  tile_f, top_f, bot_f,
+                  tile_f, top_f, bot_f,
+                  _const((1, f)), _const((1, f)), _const((1, f)),
+                  _const((1, f)), _const((1, f)), _const((1, f)),
+                  _const((3, 3 * f, f))],
+        out_specs=(
+            pl.BlockSpec((1, t, rows, wp, f), lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const((3, 3 * f, f)),
+            _const((2, f)),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=interp,
+    )(da2_5, da2_5, da2_5, z5, z5, z5, u5, u5, u5,
+      _vec(a2, f), _vec(e2, f), _vec(f2v, f), _vec(sa1, f), _vec(sb1, f),
+      _vec(mu1, f), _pack_w2_bwd(w2, dt))
+    s0_1, s1_1 = mda1[0], mda1[1]
+    a1, e1, f1v, dg1, dbe1 = _bn_bwd_vectors(g1, mu1, var1, s0_1, s1_1, M,
+                                             eps)
+
+    # BK1 ---------------------------------------------------------------
+    bpr = t * wp * es * (2 * f * 2 + 2 * c * 3 + 4 * c) + t * wp * 4 * f
+    rows = _rows_divisor(h, bpr)
+    tile_f1, _, _ = _specs(b, t, rows, wp, f, h)
+    tile_c, _, _ = _specs(b, t, rows, wp, c, h)
+    dx5, dw1 = pl.pallas_call(
+        functools.partial(_bk1, fold=fold, wt=w),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, h, w, c), dt),
+            jax.ShapeDtypeStruct((c, f), jnp.float32),
+        ),
+        grid=(b, h // rows),
+        in_specs=[tile_f1, tile_f1, tile_c, tile_c,
+                  _const((1, f)), _const((1, f)), _const((1, f)),
+                  _const((f, c))],
+        out_specs=(
+            pl.BlockSpec((1, t, rows, wp, c), lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const((c, f)),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=interp,
+    )(da1_5, u5, x5, dq5,
+      _vec(a1, f), _vec(e1, f), _vec(f1v, f),
+      w1.reshape(c, f).T.astype(dt))
+
+    dx = dx5.reshape(nt, h, w, c)
+    # unpack dw2 [3,3F,F] (dr, dc-major K) -> [3,3,F,F]; cotangents must
+    # match each primal's shape and dtype
+    dw1 = dw1.reshape(w1o.shape).astype(w1o.dtype)
+    dw2 = dw2p.reshape(w2o.shape).astype(w2o.dtype)
+    dw3 = dw3.reshape(w3o.shape).astype(w3o.dtype)
+    as_p = lambda dg, g: dg.astype(g.dtype)
+    return (dx, dw1, dw2, dw3,
+            as_p(dg1, g1), as_p(dbe1, be1), as_p(dg2, g2),
+            as_p(dbe2, be2), as_p(dg3, g3), as_p(dbe3, be3))
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def tsm_bottleneck_train(x, w1, w2, w3, g1, be1, g2, be2, g3, be3,
+                         n_segment: int, n_div: int = 8,
+                         eps: float = 1e-5):
+    """Training-mode fused bottleneck (stride-1, no projection):
+    x [N*T, H, W, C] -> (y [N*T, H, W, C], batch stats).
+
+    w1 [1,1,C,F] or [C,F]; w2 [3,3,F,F]; w3 [1,1,F,C] or [F,C];
+    g*/be*: BatchNorm scale/bias (f32 params). Returns the block output
+    and (mu1, var1, mu2, var2, mu3, var3) — the biased batch statistics
+    each BatchNorm normalized with, for the caller's running-average
+    update (flax nn.BatchNorm convention). Fully differentiable wrt all
+    array arguments via a hand-written Pallas backward."""
+    y, stats, _ = _forward(x, w1, w2, w3, g1, be1, g2, be2, g3, be3,
+                           n_segment, n_div, eps)
+    return y, stats
+
+
+def _vjp_fwd(x, w1, w2, w3, g1, be1, g2, be2, g3, be3, n_segment, n_div,
+             eps):
+    y, stats, (x_, u, z, p, y_) = _forward(
+        x, w1, w2, w3, g1, be1, g2, be2, g3, be3, n_segment, n_div, eps)
+    res = (x, u, z, p, y,
+           tuple(jax.lax.stop_gradient(s) for s in stats),
+           w1, w2, w3, g1, be1, g2, be2, g3, be3)
+    return (y, stats), res
+
+
+def _vjp_bwd(n_segment, n_div, eps, res, ct):
+    dy, _dstats = ct  # running-stat updates do not backprop (buffers)
+    grads = _backward(n_segment, n_div, eps, res, dy)
+    (dx, dw1, dw2, dw3, dg1, dbe1, dg2, dbe2, dg3, dbe3) = grads
+    return (dx, dw1, dw2, dw3, dg1, dbe1, dg2, dbe2, dg3, dbe3)
+
+
+tsm_bottleneck_train.defvjp(_vjp_fwd, _vjp_bwd)
