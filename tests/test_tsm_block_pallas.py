@@ -87,6 +87,40 @@ def test_flat_nstack_matches_reference(nstack):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("nblk,chain,planar,gblk", [
+    (2, None, False, None), (3, None, False, None), (3, 2, False, None),
+    (3, None, True, None), (2, None, False, 2),
+], ids=["chain2", "chain3", "split2", "chain3-planar", "chain2-gblk2"])
+def test_flat_chain_matches_sequential(nblk, chain, planar, gblk):
+    """Chain kernel (N blocks per grid step, intermediates VMEM-resident)
+    vs the same blocks applied sequentially through the single-block flat
+    kernel — including sub-chain splitting and the planar final store."""
+    from video_chapter_generation_tpu.ops.tsm_block_pallas import (
+        tsm_bottleneck_chain_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    c, f, t = 32, 8, 2
+    blocks = []
+    for _ in range(nblk):
+        p = _params(rng, c, f, c)
+        blocks.append((p["w1"], p["w2"], p["w3"], *p["a1"], *p["a2"],
+                       *p["a3"]))
+    x = jnp.asarray(rng.standard_normal((2 * t, H, W, c)) * 0.3,
+                    jnp.float32)
+    ref = x
+    for (w1, w2, w3, s1, b1, s2, b2, s3, b3) in blocks:
+        ref = tsm_bottleneck_pallas(ref, w1, w2, w3, s1, b1, s2, b2, s3,
+                                    b3, t)
+    got = tsm_bottleneck_chain_pallas(x, blocks, t,
+                                      tuning=dict(chain=chain, gblk=gblk),
+                                      planar_out=planar)
+    if planar:  # un-merge the pair-packed columns (reshape is the inverse)
+        got = got.reshape(2 * t, H, W, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("rows", [None, 4], ids=["whole", "tiled"])
 def test_fused_block_projection(rows, monkeypatch):
     if rows is not None:
@@ -272,6 +306,11 @@ def test_stem_s2d_u8_matches_normalized_reference():
     got = stem_s2d_pallas(s2d, w7, s, b, out_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+    # the 9-piece z-build is a pure lane-order-preserving rewrite
+    got9 = stem_s2d_pallas(s2d, w7, s, b, out_dtype=jnp.float32,
+                           zbuild="nine")
+    np.testing.assert_allclose(np.asarray(got9), np.asarray(got),
+                               rtol=0, atol=0)
 
 
 def test_resnet_stem_s2d_matches_frames(monkeypatch):
@@ -314,6 +353,28 @@ def test_resnet_fusedall_whole_blocks_match_xla(monkeypatch):
     got = m.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_resnet_chain_blocks_matches_unchained(monkeypatch):
+    """Model-level: chaining a stage's plain blocks into one flat kernel
+    (chain_blocks=True, the default) must equal the per-block flat
+    kernels on the SAME param tree — including with a planar link into
+    the next stage's block0."""
+    import video_chapter_generation_tpu.models.resnet as rn
+
+    monkeypatch.setattr(rn, "FORCE_WHOLE_BLOCKS", True)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32)
+    m_ref = rn.ResNet(stage_sizes=(1, 3, 2, 1), n_segment=4,
+                      tsm_impl="fusedall", chain_blocks=False)
+    v = jax.jit(lambda: m_ref.init(jax.random.PRNGKey(0), x,
+                                   train=False))()
+    ref = m_ref.apply(v, x, train=False)
+    m = rn.ResNet(stage_sizes=(1, 3, 2, 1), n_segment=4,
+                  tsm_impl="fusedall", chain_blocks=True)
+    got = m.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_resnet_fusedblk_impl_matches_xla():

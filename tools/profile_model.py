@@ -92,6 +92,8 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--s2d", action="store_true",
                     help="feed raw-u8 space-to-depth frames (hot path)")
+    ap.add_argument("--nochain", action="store_true",
+                    help="disable multi-block chain kernels (A/B)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the trace dir and print its path")
     args = ap.parse_args()
@@ -109,7 +111,7 @@ def main():
         except json.JSONDecodeError:
             pass
     model = ResNet(depth=50, n_segment=args.t, dtype=jnp.bfloat16,
-                   tsm_impl=impl,
+                   tsm_impl=impl, chain_blocks=not args.nochain,
                    stem_input="s2d" if args.s2d else "frames")
     rng = np.random.default_rng(0)
     u8np = rng.integers(

@@ -146,6 +146,36 @@ class _ConvKernel(nn.Module):
                           self.shape)
 
 
+class _FusedBlockParams(nn.Module):
+    """Declares a plain (stride-1, non-projection) bottleneck's parameters
+    with the SAME variable paths as Bottleneck (conv1/conv2/conv3 +
+    bn1/bn2/bn3) and returns them inference-folded for the fused chain
+    kernel — used when ResNet chains consecutive plain blocks into one
+    tsm_bottleneck_chain_pallas call. Checkpoints stay interchangeable
+    with the per-block paths."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, c):
+        f = self.features
+        w1 = _ConvKernel((1, 1, c, f), name="conv1")().astype(self.dtype)
+        w2 = _ConvKernel((3, 3, f, f), name="conv2")().astype(self.dtype)
+        w3 = _ConvKernel((1, 1, f, 4 * f),
+                         name="conv3")().astype(self.dtype)
+
+        def fold(bn_name, n):
+            scale, bias, mean, var = _BNParams(n, name=bn_name)()
+            s = scale * jax.lax.rsqrt(var + 1e-5)
+            return s, bias - mean * s
+
+        s1, b1 = fold("bn1", f)
+        s2, b2 = fold("bn2", f)
+        s3, b3 = fold("bn3", 4 * f)
+        return w1, w2, w3, s1, b1, s2, b2, s3, b3
+
+
 class Bottleneck(nn.Module):
     """ResNet v1.5 bottleneck (stride on the 3x3), optional TSM on conv1
     input."""
@@ -353,6 +383,12 @@ class ResNet(nn.Module):
     # — the f32 per-conv activation saves that OOM'd B=16 training steps
     # (PERF.md round 3) vanish, at ~1/3 extra forward FLOPs in backward.
     remat: bool = False
+    # chain consecutive plain blocks of a stage into ONE flat kernel call
+    # at inference (tsm_bottleneck_chain_pallas): intermediates stay
+    # VMEM-resident and the per-grid-step overhead — which dominates the
+    # deep layers, whose per-sample dots are too small to fill the MXU —
+    # is paid once per chain instead of once per block
+    chain_blocks: bool = True
     fold_bn_inference: Optional[bool] = None
     fuse_stem_pool: bool = True  # fused stem bn+relu+maxpool at inference
     # "frames": x is [N, H, W, 3] (normalized float). "s2d": x is the 4x4
@@ -483,6 +519,24 @@ class ResNet(nn.Module):
             for block in range(num_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 impl, impl_train = impl_for(stage)
+                if (block == 1 and num_blocks >= 3 and use_ra
+                        and self.chain_blocks
+                        and self._chain_stage(impl, use_ra, y)):
+                    from ..ops.tsm_block_pallas import (
+                        tsm_bottleneck_chain_pallas,
+                    )
+
+                    params = [
+                        _FusedBlockParams(
+                            features, self.dtype,
+                            name=f"layer{stage + 1}_block{k}",
+                        )(y.shape[-1])
+                        for k in range(1, num_blocks)
+                    ]
+                    y = tsm_bottleneck_chain_pallas(
+                        y, params, self.n_segment, self.n_div,
+                        planar_out=links[stage])
+                    break
                 y = block_cls(
                     features=features,
                     stride=stride,
@@ -504,6 +558,20 @@ class ResNet(nn.Module):
 
         # global average pool (torchvision avgpool + flatten)
         return jnp.mean(y, axis=(1, 2))
+
+    def _chain_stage(self, impl, use_ra, y) -> bool:
+        """Gate for chaining a stage's plain blocks into one flat kernel:
+        the blocks must individually take the flat whole-block path."""
+        from ..ops.tsm_block_pallas import DEFAULT_TUNING, flat_sample_fits
+
+        h, w, c = y.shape[1], y.shape[2], y.shape[3]
+        return (
+            _whole_fused(impl, self.n_segment, self.fuse_tsm, use_ra,
+                         1, False, h, w)
+            and DEFAULT_TUNING["flat"]
+            and flat_sample_fits(self.n_segment, h, w, c,
+                                 jnp.dtype(self.dtype).itemsize)
+        )
 
 
 class Resnet50TSM(nn.Module):

@@ -21,7 +21,7 @@ torchvision.resnet50; reference never changes the stem).
 
 from __future__ import annotations
 
-
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -150,12 +150,19 @@ def _stem_weight_im2col(w7, dtype):
     return out.reshape(432, 256)
 
 
-def _stem_kernel(x_ref, *refs):
+def _stem_kernel(x_ref, *refs, zbuild: str = "two"):
     """x_ref [G, 56, 56, 48] (4x4 space-to-depth frames; bf16 normalized,
     or uint8 raw with in-kernel normalize via extra a/b [1,48] refs),
     w_ref [432, 256] (phase-packed im2col weight), s/b [1, 256] (folded
     BN, tiled over the 4 phases), o_ref [G, 56, 56, 64]: 7x7/2 conv + bn
-    + relu + 3x3/2 max pool, one frame batch per grid step."""
+    + relu + 3x3/2 max pool, one frame batch per grid step.
+
+    zbuild — how the [.., 432] im2col patch is materialized:
+    - "two": column im2col first ([.., 144]), then 3 row-shifted copies
+      concatenated (writes ~672 lanes/pixel incl. the shifted pieces);
+    - "nine": one 9-piece concat of row-sliced column-shift tensors
+      (writes ~528 lanes/pixel — skips the 144-lane intermediate).
+    Same lane order (tap_r-major, tap_c, ch48) either way."""
     if len(refs) == 6:
         a_ref, bin_ref, w_ref, s_ref, b_ref, o_ref = refs
     else:
@@ -178,16 +185,18 @@ def _stem_kernel(x_ref, *refs):
     # column taps as shift-by-concat (keeps every operand at sublane
     # offset 0 — Mosaic cannot concatenate lanes across offset mismatches)
     zc1 = jnp.zeros((g, n + 2, 1, 48), x.dtype)
-    zc = jnp.concatenate(
-        [
-            jnp.concatenate([zc1, xp[:, :, : n - 1]], axis=2),
-            xp,
-            jnp.concatenate([xp[:, :, 1:], zc1], axis=2),
-        ],
-        axis=-1)  # [G, 58, 56, 144]
-    z = jnp.concatenate(
-        [zc[:, 0:n], zc[:, 1 : n + 1], zc[:, 2 : n + 2]],
-        axis=-1)  # [G, 56, 56, 432]
+    left = jnp.concatenate([zc1, xp[:, :, : n - 1]], axis=2)
+    right = jnp.concatenate([xp[:, :, 1:], zc1], axis=2)
+    if zbuild == "nine":
+        z = jnp.concatenate(
+            [v[:, dr : dr + n]
+             for dr in range(3) for v in (left, xp, right)],
+            axis=-1)  # [G, 56, 56, 432]
+    else:
+        zc = jnp.concatenate([left, xp, right], axis=-1)  # [G,58,56,144]
+        z = jnp.concatenate(
+            [zc[:, 0:n], zc[:, 1 : n + 1], zc[:, 2 : n + 2]],
+            axis=-1)  # [G, 56, 56, 432]
     acc = jnp.dot(z.reshape(g * n * n, 432), w_ref[:],
                   preferred_element_type=jnp.float32)
     y = jnp.maximum(acc * s_ref[0] + b_ref[0], 0.0).astype(dt)
@@ -235,13 +244,15 @@ def stem_conv_bn_pool_pallas(x, w7, scale, bias, out_dtype=None):
                            or x.dtype)
 
 
-def stem_s2d_pallas(s4, w7, scale, bias, out_dtype=jnp.bfloat16):
+def stem_s2d_pallas(s4, w7, scale, bias, out_dtype=jnp.bfloat16,
+                    zbuild: str = "two"):
     """Fused stem on 4x4 space-to-depth input [N, H/4, W/4, 48].
 
     With uint8 input the frames are RAW pixels: the kernel applies the
     ImageNet normalize affine in VMEM (ops/preprocess.py semantics) before
     the conv — the host never materializes normalized frames, never
-    transposes on device, and ships 1 byte/pixel over PCIe/HBM."""
+    transposes on device, and ships 1 byte/pixel over PCIe/HBM.
+    zbuild: z-build strategy knob, see _stem_kernel."""
     nt, n, n2, c48 = s4.shape
     assert c48 == 48 and n == n2, s4.shape
     is_u8 = s4.dtype == jnp.uint8
@@ -272,7 +283,7 @@ def stem_s2d_pallas(s4, w7, scale, bias, out_dtype=jnp.bfloat16):
         g //= 2
     grid = (nt // g,)
     out = pl.pallas_call(
-        _stem_kernel,
+        functools.partial(_stem_kernel, zbuild=zbuild),
         out_shape=jax.ShapeDtypeStruct((nt, n, n, 64), dt),
         grid=grid,
         in_specs=[

@@ -97,6 +97,9 @@ DEFAULT_TUNING = dict(
     # tensors (same MXU tile-passes, ~2/3 less VPU tensor building);
     # requires F % 128 == 0 — auto-disabled otherwise
     nstack=True,
+    # max blocks per CHAIN kernel call (tsm_bottleneck_chain_pallas);
+    # None = the whole run of consecutive plain blocks in one kernel
+    chain=None,
 )
 
 
@@ -243,6 +246,95 @@ def _kernel(x_ref, *refs, fold: int, halo: bool, proj: bool,
         o_ref[0] = out
 
 
+def _flat_block_body(x, w1, w2, s1, b1, s2, b2, s3, b3, w3, *, fold: int,
+                     g: int, t: int, h: int, w: int, wt: int,
+                     nstack: bool, dt):
+    """One stride-1 non-projection bottleneck on FLAT [M, C] values
+    (weights/affines as in-kernel VALUES so chains can index stacked
+    refs). See _kernel_flat for the layout reasoning."""
+    m, c = x.shape
+    f = w1.shape[1]
+    hw = h * w
+
+    # conv1 + temporal-shift correction ("pair" form)
+    y = jnp.dot(x, w1, preferred_element_type=jnp.float32)
+    x2 = x[:, : 2 * fold]
+    zf = jnp.zeros((hw, 2 * fold), x.dtype)
+    frame = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) // hw
+    nxt = jnp.concatenate([x2[hw:], zf], axis=0)
+    prv = jnp.concatenate([zf, x2[: m - hw]], axis=0)
+    if g > 1:
+        nxt = jnp.where(frame % t == t - 1, 0.0, nxt).astype(x.dtype)
+        prv = jnp.where(frame % t == 0, 0.0, prv).astype(x.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * fold), 1)
+    d = (jnp.where(lane < fold, nxt, prv) - x2).astype(x.dtype)
+    y += jnp.dot(d, w1[: 2 * fold], preferred_element_type=jnp.float32)
+    y1 = jnp.maximum(y.astype(dt) * s1 + b1, 0.0)  # [M, F]
+
+    # column taps: shift by 1, zeroed at image-row boundaries
+    colidx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % w
+    z1 = jnp.zeros((1, f), dt)
+    left = jnp.where(colidx == 0, 0.0,
+                     jnp.concatenate([z1, y1[: m - 1]], axis=0)).astype(dt)
+    right = jnp.where(colidx >= wt - 1, 0.0,
+                      jnp.concatenate([y1[1:], z1], axis=0)).astype(dt)
+    zc = jnp.concatenate([left, y1, right], axis=-1)  # [M, 3F]
+    # row taps: shift by w, zeroed at image top/bottom rows
+    rowidx = (jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) // w) % h
+    if nstack:
+        dd = jnp.dot(zc, w2, preferred_element_type=jnp.float32)
+        d0, d1, d2 = dd[:, :f], dd[:, f : 2 * f], dd[:, 2 * f :]
+        zwf = jnp.zeros((w, f), jnp.float32)
+        top = jnp.where(rowidx == 0, 0.0,
+                        jnp.concatenate([zwf, d0[: m - w]], axis=0))
+        bot = jnp.where(rowidx == h - 1, 0.0,
+                        jnp.concatenate([d2[w:], zwf], axis=0))
+        acc = d1 + top + bot
+    else:
+        zw = jnp.zeros((w, 3 * f), dt)
+        top = jnp.where(rowidx == 0, 0.0,
+                        jnp.concatenate([zw, zc[: m - w]], axis=0)
+                        ).astype(dt)
+        bot = jnp.where(rowidx == h - 1, 0.0,
+                        jnp.concatenate([zc[w:], zw], axis=0)).astype(dt)
+        acc = jnp.dot(zc, w2[1], preferred_element_type=jnp.float32)
+        acc += jnp.dot(top, w2[0], preferred_element_type=jnp.float32)
+        acc += jnp.dot(bot, w2[2], preferred_element_type=jnp.float32)
+    y2 = jnp.maximum(acc.astype(dt) * s2 + b2, 0.0)
+
+    y3 = jnp.dot(y2, w3, preferred_element_type=jnp.float32)
+    y3 = y3.astype(dt) * s3 + b3
+    return jnp.maximum(y3 + x, 0.0)
+
+
+def _kernel_flat_chain(x_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
+                       s2_ref, b2_ref, s3_ref, b3_ref, o_ref, *,
+                       nblk: int, fold: int, h: int, w: int, wt: int,
+                       planar: bool = False, nstack: bool = False):
+    """CHAIN of nblk consecutive stride-1 non-projection bottlenecks on a
+    whole VMEM-resident sample: x is read from HBM once and the chain's
+    final output written once — the nblk-1 intermediate activations never
+    touch HBM, and the per-grid-step overhead is paid once instead of
+    nblk times. Weight refs are the single-block refs STACKED on a
+    leading block axis (w1_ref [nblk, C, F], ...). No halo recompute:
+    unlike the row-tiled 4-D kernels, the flat form already holds every
+    row of the sample."""
+    g, t, c = x_ref.shape[0], x_ref.shape[1], x_ref.shape[4]
+    m = g * t * h * w
+    dt = o_ref.dtype
+    v = x_ref[:].reshape(m, c)
+    for k in range(nblk):
+        v = _flat_block_body(
+            v, w1_ref[k], w2_ref[k], s1_ref[k], b1_ref[k], s2_ref[k],
+            b2_ref[k], s3_ref[k], b3_ref[k], w3_ref[k],
+            fold=fold, g=g, t=t, h=h, w=w, wt=wt, nstack=nstack, dt=dt)
+    v = v.reshape(g, t, h, w, c)
+    if planar:
+        o_ref[:] = v.reshape(g, t, h, w // 2, 2 * c)
+    else:
+        o_ref[:] = v
+
+
 def _kernel_flat(x_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref, s2_ref,
                  b2_ref, s3_ref, b3_ref, o_ref, *, fold: int, h: int,
                  w: int, wt: int, planar: bool = False,
@@ -265,73 +357,24 @@ def _kernel_flat(x_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref, s2_ref,
     tiled so the in-kernel flatten is free, and the pad columns (undefined
     contents) never reach a true output: dots mix only within a pixel's K
     lanes, the right tap is masked at col wt-1, the left at col 0, and
-    row/temporal shifts map pad columns onto pad columns."""
+    row/temporal shifts map pad columns onto pad columns.
+
+    The nstack row-tap form (see DEFAULT_TUNING) does ONE [M,3F]x[3F,3F]
+    dot and row-shifts the three F-lane OUTPUT slices — same MXU
+    tile-passes, ~2/3 less VPU tensor building (the shifted [M,3F]
+    im2col tensors are never built; F is a 128-lane multiple on every
+    flat layer so the f32 slices and adds are tile-aligned).
+
+    Body shared with _kernel_flat_chain via _flat_block_body."""
     g, t, c = x_ref.shape[0], x_ref.shape[1], x_ref.shape[4]
     m = g * t * h * w
-    f = w1_ref.shape[1]
     dt = o_ref.dtype
-    hw = h * w
     x = x_ref[:].reshape(m, c)
-
-    # conv1 + temporal-shift correction ("pair" form): frame t+1 / t-1 are
-    # shifts by hw, masked at CLIP boundaries (with g > 1 samples per
-    # block, interior boundaries would otherwise leak between samples)
-    y = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
-    x2 = x[:, : 2 * fold]
-    zf = jnp.zeros((hw, 2 * fold), x.dtype)
-    frame = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) // hw
-    nxt = jnp.concatenate([x2[hw:], zf], axis=0)
-    prv = jnp.concatenate([zf, x2[: m - hw]], axis=0)
-    if g > 1:
-        nxt = jnp.where(frame % t == t - 1, 0.0, nxt).astype(x.dtype)
-        prv = jnp.where(frame % t == 0, 0.0, prv).astype(x.dtype)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * fold), 1)
-    d = (jnp.where(lane < fold, nxt, prv) - x2).astype(x.dtype)
-    y += jnp.dot(d, w1_ref[: 2 * fold],
-                 preferred_element_type=jnp.float32)
-    y1 = jnp.maximum(y.astype(dt) * s1_ref[0] + b1_ref[0], 0.0)  # [M, F]
-
-    # column taps: shift by 1, zeroed at image-row boundaries
-    colidx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % w
-    z1 = jnp.zeros((1, f), dt)
-    left = jnp.where(colidx == 0, 0.0,
-                     jnp.concatenate([z1, y1[: m - 1]], axis=0)).astype(dt)
-    right = jnp.where(colidx >= wt - 1, 0.0,
-                      jnp.concatenate([y1[1:], z1], axis=0)).astype(dt)
-    zc = jnp.concatenate([left, y1, right], axis=-1)  # [M, 3F]
-    # row taps: shift by w, zeroed at image top/bottom rows
-    rowidx = (jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) // w) % h
-    if nstack:
-        # N-stacked row taps: ONE [M,3F]x[3F,3F] dot (w2_ref holds the 3
-        # tap weights concatenated on N), then row-shift the three F-lane
-        # OUTPUT slices and sum. Same MXU tile-passes as 3 separate dots,
-        # but the two extra [M,3F] shifted im2col tensors (top/bot) are
-        # never built — the shifts move to [M,F] f32 slices (F is a
-        # 128-lane multiple on every flat layer, so the slices and the
-        # adds are tile-aligned).
-        d = jnp.dot(zc, w2_ref[:], preferred_element_type=jnp.float32)
-        d0, d1, d2 = d[:, :f], d[:, f : 2 * f], d[:, 2 * f :]
-        zwf = jnp.zeros((w, f), jnp.float32)
-        top = jnp.where(rowidx == 0, 0.0,
-                        jnp.concatenate([zwf, d0[: m - w]], axis=0))
-        bot = jnp.where(rowidx == h - 1, 0.0,
-                        jnp.concatenate([d2[w:], zwf], axis=0))
-        acc = d1 + top + bot
-    else:
-        zw = jnp.zeros((w, 3 * f), dt)
-        top = jnp.where(rowidx == 0, 0.0,
-                        jnp.concatenate([zw, zc[: m - w]], axis=0)
-                        ).astype(dt)
-        bot = jnp.where(rowidx == h - 1, 0.0,
-                        jnp.concatenate([zc[w:], zw], axis=0)).astype(dt)
-        acc = jnp.dot(zc, w2_ref[1], preferred_element_type=jnp.float32)
-        acc += jnp.dot(top, w2_ref[0], preferred_element_type=jnp.float32)
-        acc += jnp.dot(bot, w2_ref[2], preferred_element_type=jnp.float32)
-    y2 = jnp.maximum(acc.astype(dt) * s2_ref[0] + b2_ref[0], 0.0)
-
-    y3 = jnp.dot(y2, w3_ref[:], preferred_element_type=jnp.float32)
-    y3 = y3.astype(dt) * s3_ref[0] + b3_ref[0]
-    v = jnp.maximum(y3 + x, 0.0).reshape(g, t, h, w, c)
+    v = _flat_block_body(
+        x, w1_ref[:], w2_ref[:], s1_ref[:], b1_ref[:], s2_ref[:],
+        b2_ref[:], s3_ref[:], b3_ref[:], w3_ref[:],
+        fold=fold, g=g, t=t, h=h, w=w, wt=wt, nstack=nstack, dt=dt)
+    v = v.reshape(g, t, h, w, c)
     if planar:
         # pair-merged store for a following stride-2 block0 (see
         # _kernel_s2_planar): the sublane->lane merge is the final op,
@@ -729,6 +772,137 @@ def tsm_bottleneck_s2_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
     return out.reshape(nt, h // 2, w // 2, c_out)
 
 
+def flat_sample_fits(t: int, h: int, w: int, c: int, itemsize: int) -> bool:
+    """True when one whole sample (plus flat-kernel intermediates) fits
+    the VMEM budget — the gate for the flat whole-sample kernels (and
+    chains; chaining adds one sample-sized live value, covered by the
+    margin in the factor)."""
+    return (t * h * (-(-w // 8) * 8) * c * itemsize * 7
+            <= 100 * 1024 * 1024)
+
+
+def _chain_fits(t: int, h: int, w: int, c: int, f: int,
+                itemsize: int) -> bool:
+    """VMEM estimate for the CHAIN kernel: in/out double-buffered sample
+    pairs + the live chain value + y1/zc intermediates + the f32 conv3
+    accumulator. Chain length does not change the peak (one block body
+    live at a time)."""
+    wp = -(-w // 8) * 8
+    m = t * h * wp
+    bytes_ = m * (itemsize * (5 * c + 4 * f) + 4 * c)
+    return bytes_ <= 100 * 1024 * 1024
+
+
+def tsm_bottleneck_chain_pallas(x, blocks, n_segment: int, n_div: int = 8,
+                                tuning=None, planar_out: bool = False):
+    """CHAIN of consecutive stride-1 non-projection fused bottlenecks:
+    x [N*T, H, W, C] -> [N*T, H, W, C] (or the planar pair-merged layout
+    with planar_out). blocks = sequence of per-block parameter tuples
+    (w1, w2, w3, s1, b1, s2, b2, s3, b3) with the same layouts as
+    tsm_bottleneck_pallas.
+
+    The whole chain runs in ONE kernel per sample: intermediate block
+    activations stay VMEM-resident (no HBM round-trips between blocks)
+    and the per-grid-step overhead — which dominates the deep layers,
+    where a sample's dots are far too small to fill the MXU — is paid
+    once instead of len(blocks) times. Falls back to shorter sub-chains
+    automatically if the VMEM estimate rejects the full chain (the peak
+    is chain-length-independent, so in practice it either chains fully
+    or the caller should not have chained at all)."""
+    tune = dict(DEFAULT_TUNING)
+    if tuning:
+        tune.update(tuning)
+    nt, h, w, c = x.shape
+    b = nt // n_segment
+    t = n_segment
+    dt = x.dtype
+    fold = c // n_div
+    wp8 = -(-w // 8) * 8
+    assert flat_sample_fits(t, h, w, c, dt.itemsize), (t, h, w, c)
+
+    nblk = len(blocks)
+    norm = []
+    f = None
+    for (w1, w2, w3, s1, b1, s2, b2, s3, b3) in blocks:
+        w1 = w1.reshape(c, -1).astype(dt)
+        if f is None:
+            f = w1.shape[1]
+        assert w1.shape[1] == f
+        w2 = w2.reshape(3, 3, f, f).astype(dt)
+        w3 = w3.reshape(f, -1).astype(dt)
+        assert w3.shape[1] == c, "chain blocks must be non-projection"
+        vec = lambda v, n: jnp.asarray(v).reshape(1, n).astype(dt)
+        norm.append((w1, w2, w3, vec(s1, f), vec(b1, f), vec(s2, f),
+                     vec(b2, f), vec(s3, c), vec(b3, c)))
+
+    nstack = tune["nstack"] and f % 128 == 0
+
+    def pack_w2(w2):
+        w2r = w2.reshape(3, 3 * f, f)
+        if nstack:
+            return jnp.concatenate([w2r[0], w2r[1], w2r[2]], axis=1)
+        return w2r
+
+    flat_full = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    w2shape = (3 * f, 3 * f) if nstack else (3, 3 * f, f)
+
+    gblk = tune["gblk"] or 1
+    while b % gblk:
+        gblk -= 1
+
+    def run_chain(v, group, planar):
+        k = len(group)
+        stacked = [
+            jnp.stack([pack_w2(g[1]) if i == 1 else g[i] for g in group])
+            for i in range(9)
+        ]
+        # order: w1s, w2s, w3s, s1s, b1s, s2s, b2s, s3s, b3s
+        return pl.pallas_call(
+            functools.partial(_kernel_flat_chain, nblk=k, fold=fold, h=h,
+                              w=wp8, wt=w, planar=planar, nstack=nstack),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, t, h, w // 2, 2 * c) if planar else (b, t, h, w, c),
+                dt),
+            grid=(b // gblk,),
+            in_specs=[
+                pl.BlockSpec((gblk, t, h, wp8, c),
+                             lambda i: (i, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                flat_full((k, c, f)), flat_full((k, *w2shape)),
+                flat_full((k, f, c)),
+                flat_full((k, 1, f)), flat_full((k, 1, f)),
+                flat_full((k, 1, f)), flat_full((k, 1, f)),
+                flat_full((k, 1, c)), flat_full((k, 1, c)),
+            ],
+            out_specs=pl.BlockSpec(
+                (gblk, t, h, wp8 // 2, 2 * c) if planar
+                else (gblk, t, h, wp8, c),
+                lambda i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+                dimension_semantics=(
+                    (tune["dimsem"],) if tune["dimsem"] else None),
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )(v.reshape(b, t, h, w, c), *stacked).reshape(
+            nt, h, *((w // 2, 2 * c) if planar else (w, c)))
+
+    max_len = tune.get("chain") or nblk
+    if not _chain_fits(t, h, w, c, f, dt.itemsize):
+        max_len = 1
+    v = x
+    i = 0
+    while i < nblk:
+        group = norm[i : i + max_len]
+        last = i + len(group) >= nblk
+        v = run_chain(v, group, planar_out and last)
+        i += len(group)
+    return v
+
+
 def _pick_rows(h: int, w: int, c: int, t: int, es: int = 2) -> int:
     """Row-tile size. Prefer the WHOLE image per grid step when its
     working set fits ~40MB of VMEM — the block DMA is then one fully
@@ -804,10 +978,7 @@ def tsm_bottleneck_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
     grid = (b, n_tiles) if halo else (b,)
     proj = wp is not None
 
-    flat_fits = (  # flat holds a whole padded sample + intermediates
-        t * h * (-(-w // 8) * 8) * max(c, c_out) * x.dtype.itemsize * 7
-        <= 100 * 1024 * 1024
-    )
+    flat_fits = flat_sample_fits(t, h, w, max(c, c_out), x.dtype.itemsize)
     if not halo and not proj and tune["flat"] and flat_fits:
         wp8 = -(-w // 8) * 8  # pad the BLOCK width to a sublane multiple
         # gblk > 1 measured SLOWER on v5e even at layer 4 (the clip-
