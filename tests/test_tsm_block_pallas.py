@@ -121,6 +121,38 @@ def test_flat_chain_matches_sequential(nblk, chain, planar, gblk):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("nblk,rows,planar", [
+    (2, 4, False), (2, 2, False), (3, 4, False), (2, 4, True),
+    (2, None, False),
+], ids=["k2r4", "k2r2", "k3r4", "k2r4-planar", "k2-whole"])
+def test_halo_chain_matches_sequential(nblk, rows, planar):
+    """Row-tiled halo chain (layer1's form: K halo rows per side, per-
+    block absolute-row masking) vs sequential single-block kernels."""
+    from video_chapter_generation_tpu.ops.tsm_block_pallas import (
+        tsm_bottleneck_halo_chain_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    c, f, t = 32, 8, 2
+    blocks = []
+    for _ in range(nblk):
+        p = _params(rng, c, f, c)
+        blocks.append((p["w1"], p["w2"], p["w3"], *p["a1"], *p["a2"],
+                       *p["a3"]))
+    x = jnp.asarray(rng.standard_normal((2 * t, H, W, c)) * 0.3,
+                    jnp.float32)
+    ref = x
+    for (w1, w2, w3, s1, b1, s2, b2, s3, b3) in blocks:
+        ref = tsm_bottleneck_pallas(ref, w1, w2, w3, s1, b1, s2, b2, s3,
+                                    b3, t)
+    got = tsm_bottleneck_halo_chain_pallas(
+        x, blocks, t, tuning=dict(rows=rows), planar_out=planar)
+    if planar:
+        got = got.reshape(2 * t, H, W, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("rows", [None, 4], ids=["whole", "tiled"])
 def test_fused_block_projection(rows, monkeypatch):
     if rows is not None:
@@ -355,14 +387,20 @@ def test_resnet_fusedall_whole_blocks_match_xla(monkeypatch):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_resnet_chain_blocks_matches_unchained(monkeypatch):
-    """Model-level: chaining a stage's plain blocks into one flat kernel
-    (chain_blocks=True, the default) must equal the per-block flat
+@pytest.mark.parametrize("mode", ["flat", "halo"])
+def test_resnet_chain_blocks_matches_unchained(monkeypatch, mode):
+    """Model-level: chaining a stage's plain blocks into one kernel
+    (chain_blocks=True, the default) must equal the per-block fused
     kernels on the SAME param tree — including with a planar link into
-    the next stage's block0."""
+    the next stage's block0. mode='halo' forces the row-tiled layer1-
+    style chain by disabling the flat path's fit."""
     import video_chapter_generation_tpu.models.resnet as rn
+    from video_chapter_generation_tpu.ops import tsm_block_pallas as tbp
 
     monkeypatch.setattr(rn, "FORCE_WHOLE_BLOCKS", True)
+    if mode == "halo":
+        monkeypatch.setattr(tbp, "DEFAULT_TUNING",
+                            dict(tbp.DEFAULT_TUNING, flat=False))
     rng = np.random.default_rng(9)
     x = jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32)
     m_ref = rn.ResNet(stage_sizes=(1, 3, 2, 1), n_segment=4,

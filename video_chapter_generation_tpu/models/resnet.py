@@ -519,11 +519,14 @@ class ResNet(nn.Module):
             for block in range(num_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 impl, impl_train = impl_for(stage)
-                if (block == 1 and num_blocks >= 3 and use_ra
-                        and self.chain_blocks
-                        and self._chain_stage(impl, use_ra, y)):
+                chain_mode = (
+                    self._chain_stage(impl, use_ra, y)
+                    if (block == 1 and num_blocks >= 3 and use_ra
+                        and self.chain_blocks) else None)
+                if chain_mode:
                     from ..ops.tsm_block_pallas import (
                         tsm_bottleneck_chain_pallas,
+                        tsm_bottleneck_halo_chain_pallas,
                     )
 
                     params = [
@@ -533,9 +536,11 @@ class ResNet(nn.Module):
                         )(y.shape[-1])
                         for k in range(1, num_blocks)
                     ]
-                    y = tsm_bottleneck_chain_pallas(
-                        y, params, self.n_segment, self.n_div,
-                        planar_out=links[stage])
+                    chain_fn = (tsm_bottleneck_chain_pallas
+                                if chain_mode == "flat"
+                                else tsm_bottleneck_halo_chain_pallas)
+                    y = chain_fn(y, params, self.n_segment, self.n_div,
+                                 planar_out=links[stage])
                     break
                 y = block_cls(
                     features=features,
@@ -559,19 +564,22 @@ class ResNet(nn.Module):
         # global average pool (torchvision avgpool + flatten)
         return jnp.mean(y, axis=(1, 2))
 
-    def _chain_stage(self, impl, use_ra, y) -> bool:
-        """Gate for chaining a stage's plain blocks into one flat kernel:
-        the blocks must individually take the flat whole-block path."""
+    def _chain_stage(self, impl, use_ra, y):
+        """Chain strategy for a stage's plain blocks: 'flat' (whole
+        sample per step, layers 2-4), 'halo' (row-tiled with K halo rows,
+        layer1 — sample too big for flat), or None (no chaining)."""
         from ..ops.tsm_block_pallas import DEFAULT_TUNING, flat_sample_fits
 
         h, w, c = y.shape[1], y.shape[2], y.shape[3]
-        return (
-            _whole_fused(impl, self.n_segment, self.fuse_tsm, use_ra,
-                         1, False, h, w)
-            and DEFAULT_TUNING["flat"]
-            and flat_sample_fits(self.n_segment, h, w, c,
-                                 jnp.dtype(self.dtype).itemsize)
-        )
+        if not _whole_fused(impl, self.n_segment, self.fuse_tsm, use_ra,
+                            1, False, h, w):
+            return None
+        if DEFAULT_TUNING["flat"] and flat_sample_fits(
+                self.n_segment, h, w, c, jnp.dtype(self.dtype).itemsize):
+            return "flat"
+        if w % 8 == 0:
+            return "halo"
+        return None
 
 
 class Resnet50TSM(nn.Module):

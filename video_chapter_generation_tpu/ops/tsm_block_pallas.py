@@ -335,6 +335,78 @@ def _kernel_flat_chain(x_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref,
         o_ref[:] = v
 
 
+def _kernel_halo_chain(x_ref, *refs, nblk: int, fold: int,
+                       conv1_mode: str, h: int, rows: int,
+                       planar: bool = False):
+    """CHAIN of nblk stride-1 non-projection bottlenecks on a ROW-TILED
+    4-D block — for stages whose samples exceed the flat kernels' VMEM
+    budget (ResNet50 layer1). Fusing K blocks needs K halo rows per side
+    (each chained conv2 consumes one more row than it produces), arriving
+    as 2K clamped 1-row blocks; block k computes output rows
+    [-e, R+e), e = K-1-k, and rows whose ABSOLUTE index falls outside the
+    image are zeroed in y1 space (the 3x3's SAME padding — garbage in
+    out-of-image halo rows can never reach a true output). HBM traffic
+    for the pair: one read of x + one write of the final y (vs K reads +
+    K writes unchained), at a conv recompute cost of ~2K/rows extra rows
+    on the earliest block.
+
+    refs: 2*nblk one-row halo refs (tops by ascending absolute row, then
+    bots), then stacked weights w1s [K,C,F], w2s [K,3,3F,F], w3s [K,F,C],
+    s1s/b1s/s2s/b2s [K,1,F], s3s/b3s [K,1,C], then o_ref."""
+    k_h = nblk
+    tops, bots = refs[:k_h], refs[k_h : 2 * k_h]
+    (w1s, w2s, w3s, s1s, b1s, s2s, b2s, s3s, b3s, o_ref) = refs[2 * k_h :]
+    t, r, w, c = (x_ref.shape[1], x_ref.shape[2], x_ref.shape[3],
+                  x_ref.shape[4])
+    f = w1s.shape[2]
+    dt = o_ref.dtype
+    j = pl.program_id(1)
+
+    v = jnp.concatenate(
+        [*(ref[0] for ref in tops), x_ref[0], *(ref[0] for ref in bots)],
+        axis=1)  # [T, R+2K, W, C], rows at absolute j*rows - K + i
+    for k in range(nblk):
+        e = nblk - 1 - k
+        ro = r + 2 * e           # this block's output rows
+        rv = ro + 2              # = v's current row count
+        c1 = functools.partial(_conv1_shift, w1=w1s[k], fold=fold,
+                               s1=s1s[k][0], b1=b1s[k][0], dt=dt,
+                               mode=conv1_mode)
+        y1 = c1(v)  # [T, rv, W, F]
+        # SAME zero padding at the true image edges: zero y1 rows whose
+        # absolute index is outside [0, h) (covers both clamped halo
+        # duplicates and garbage out-of-image rows from earlier blocks)
+        rowabs = (j * rows - (e + 1)
+                  + jax.lax.broadcasted_iota(jnp.int32, (1, rv, 1, 1), 1))
+        y1 = jnp.where((rowabs >= 0) & (rowabs < h), y1, 0.0).astype(dt)
+
+        zcol = jnp.zeros((t, rv, 1, f), dt)
+        zc = jnp.concatenate(
+            [
+                jnp.concatenate([zcol, y1[:, :, :-1]], axis=2),
+                y1,
+                jnp.concatenate([y1[:, :, 1:], zcol], axis=2),
+            ],
+            axis=-1,
+        )  # [T, rv, W, 3F]
+        m = t * ro * w
+        acc = jnp.dot(zc[:, 1 : ro + 1].reshape(m, 3 * f), w2s[k][1],
+                      preferred_element_type=jnp.float32)
+        acc += jnp.dot(zc[:, :ro].reshape(m, 3 * f), w2s[k][0],
+                       preferred_element_type=jnp.float32)
+        acc += jnp.dot(zc[:, 2 : ro + 2].reshape(m, 3 * f), w2s[k][2],
+                       preferred_element_type=jnp.float32)
+        y2 = jnp.maximum(acc.astype(dt) * s2s[k][0] + b2s[k][0], 0.0)
+        y3 = jnp.dot(y2, w3s[k], preferred_element_type=jnp.float32)
+        y3 = (y3.astype(dt) * s3s[k][0] + b3s[k][0]).reshape(t, ro, w, c)
+        v = jnp.maximum(y3 + v[:, 1 : 1 + ro], 0.0)
+
+    if planar:
+        o_ref[0] = v.reshape(t, r, w // 2, 2 * c)
+    else:
+        o_ref[0] = v
+
+
 def _kernel_flat(x_ref, w1_ref, w2_ref, w3_ref, s1_ref, b1_ref, s2_ref,
                  b2_ref, s3_ref, b3_ref, o_ref, *, fold: int, h: int,
                  w: int, wt: int, planar: bool = False,
@@ -901,6 +973,104 @@ def tsm_bottleneck_chain_pallas(x, blocks, n_segment: int, n_div: int = 8,
         v = run_chain(v, group, planar_out and last)
         i += len(group)
     return v
+
+
+def tsm_bottleneck_halo_chain_pallas(x, blocks, n_segment: int,
+                                     n_div: int = 8, tuning=None,
+                                     planar_out: bool = False):
+    """Row-tiled CHAIN of stride-1 non-projection fused bottlenecks for
+    stages whose samples exceed the flat kernels' VMEM budget (layer1).
+    blocks = per-block (w1, w2, w3, s1, b1, s2, b2, s3, b3); see
+    _kernel_halo_chain. Requires W % 8 == 0 (no ragged-width support —
+    true for layer1's 56)."""
+    tune = dict(DEFAULT_TUNING)
+    if tuning:
+        tune.update(tuning)
+    nt, h, w, c = x.shape
+    assert w % 8 == 0, w
+    b = nt // n_segment
+    t = n_segment
+    dt = x.dtype
+    fold = c // n_div
+    nblk = len(blocks)
+
+    norm = []
+    f = None
+    for (w1, w2, w3, s1, b1, s2, b2, s3, b3) in blocks:
+        w1 = w1.reshape(c, -1).astype(dt)
+        if f is None:
+            f = w1.shape[1]
+        w2 = w2.reshape(3, 3, f, f).astype(dt).reshape(3, 3 * f, f)
+        w3 = w3.reshape(f, -1).astype(dt)
+        assert w3.shape[1] == c
+        vec = lambda v, n: jnp.asarray(v).reshape(1, n).astype(dt)
+        norm.append((w1, w2, w3, vec(s1, f), vec(b1, f), vec(s2, f),
+                     vec(b2, f), vec(s3, c), vec(b3, c)))
+    stacked = [jnp.stack([g[i] for g in norm]) for i in range(9)]
+
+    es = dt.itemsize
+    # per-out-row live set: x + v + out (+dbuf) at C lanes, y1/zc at
+    # F/3F, f32 conv accumulators at 4C+4F
+    bpr = t * w * (es * (5 * c + 4 * f) + 4 * (c + f))
+    rows = tune["rows"] or max(1, min(h, (60 * 1024 * 1024) // bpr))
+    while h % rows:
+        rows -= 1
+    grid = (b, h // rows)
+    x5 = x.reshape(b, t, h, w, c)
+
+    def top_spec(i):
+        return pl.BlockSpec(
+            (1, t, 1, w, c),
+            lambda bi, j, i=i: (bi, 0,
+                                jnp.maximum(j * rows - nblk + i, 0), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def bot_spec(i):
+        return pl.BlockSpec(
+            (1, t, 1, w, c),
+            lambda bi, j, i=i: (bi, 0,
+                                jnp.minimum(j * rows + rows + i, h - 1),
+                                0, 0),
+            memory_space=pltpu.VMEM)
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda bi, j: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_halo_chain, nblk=nblk, fold=fold,
+                          conv1_mode=tune["conv1_mode"], h=h, rows=rows,
+                          planar=planar_out),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, t, h, w // 2, 2 * c) if planar_out else (b, t, h, w, c),
+            dt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t, rows, w, c),
+                         lambda bi, j: (bi, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *(top_spec(i) for i in range(nblk)),
+            *(bot_spec(i) for i in range(nblk)),
+            full((nblk, c, f)), full((nblk, 3, 3 * f, f)),
+            full((nblk, f, c)),
+            full((nblk, 1, f)), full((nblk, 1, f)),
+            full((nblk, 1, f)), full((nblk, 1, f)),
+            full((nblk, 1, c)), full((nblk, 1, c)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, rows, w // 2, 2 * c) if planar_out
+            else (1, t, rows, w, c),
+            lambda bi, j: (bi, 0, j, 0, 0),
+            memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=(
+                (tune["dimsem"],) * 2 if tune["dimsem"] else None),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x5, *([x5] * (2 * nblk)), *stacked)
+    return out.reshape(nt, h, *((w // 2, 2 * c) if planar_out
+                                else (w, c)))
 
 
 def _pick_rows(h: int, w: int, c: int, t: int, es: int = 2) -> int:
