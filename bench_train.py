@@ -71,8 +71,10 @@ def main(argv=None):
     batches = {
         "img_clips": jnp.asarray(rng.integers(
             0, 256, (2, B, W, seg, hw, hw, 3), dtype=np.uint8)),
+        # keep ids inside the tiny-mode vocab (128); out-of-range ids
+        # gather NaN via jnp.take's fill mode and poison the smoke loss
         "text_ids": jnp.asarray(rng.integers(
-            0, 1000, (2, B, W, L), dtype=np.int64).astype(np.int32)),
+            0, 128, (2, B, W, L), dtype=np.int64).astype(np.int32)),
         "label": jnp.asarray(rng.integers(0, 2, (2, B), dtype=np.int64)
                              .astype(np.int32)),
     }

@@ -232,12 +232,12 @@ class Bottleneck(nn.Module):
         if impl == "fusedtrain":
             # training-mode fused whole-block kernels (batch-stat BN
             # accumulated in-kernel + hand-written Pallas VJP,
-            # ops/tsm_block_train_pallas.py) for stride-1 non-projection
-            # blocks; other blocks fall back to tap3. At inference this
-            # impl behaves like "fusedall".
+            # ops/tsm_block_train_pallas.py) for stride-1 blocks (plain
+            # AND the layer1 projection block0); stride-2 blocks fall
+            # back to tap3. At inference this impl behaves as "fusedall".
             if use_ra:
                 impl = "fusedall"
-            elif (self.stride == 1 and not self.projection
+            elif (self.stride == 1
                   and self.n_segment > 0 and self.fuse_tsm
                   and (jax.default_backend() == "tpu"
                        or FORCE_WHOLE_BLOCKS)):
@@ -335,13 +335,17 @@ class Bottleneck(nn.Module):
                                      planar_out=self.planar_out)
 
     def _whole_block_train(self, x):
-        """Training fast path: the bottleneck's three convs fused with
-        temporal shift, in-kernel batch-stat accumulation and a full
-        Pallas custom VJP (ops/tsm_block_train_pallas.py). Parameter and
-        batch_stats trees identical to the standard path; running
-        averages updated with nn.BatchNorm's convention (momentum 0.9,
-        biased batch variance)."""
-        from ..ops.tsm_block_train_pallas import tsm_bottleneck_train
+        """Training fast path: the bottleneck's convs fused with temporal
+        shift, in-kernel batch-stat accumulation and a full Pallas custom
+        VJP (ops/tsm_block_train_pallas.py); stride-1 projection blocks
+        take the proj variant (projection conv fused into the conv1
+        kernel). Parameter and batch_stats trees identical to the
+        standard path; running averages updated with nn.BatchNorm's
+        convention (momentum 0.9, biased batch variance)."""
+        from ..ops.tsm_block_train_pallas import (
+            tsm_bottleneck_proj_train,
+            tsm_bottleneck_train,
+        )
 
         f = self.features
         c = x.shape[-1]
@@ -351,15 +355,25 @@ class Bottleneck(nn.Module):
         w3 = _ConvKernel((1, 1, f, 4 * f), name="conv3")().astype(dt)
         bns = [_BNParams(n, mutable=True, name=name)()
                for name, n in (("bn1", f), ("bn2", f), ("bn3", 4 * f))]
-        y, stats = tsm_bottleneck_train(
-            x.astype(dt), w1, w2, w3,
-            bns[0][0], bns[0][1], bns[1][0], bns[1][1],
-            bns[2][0], bns[2][1],
-            self.n_segment, self.n_div, 1e-5)
+        if self.projection:
+            wp = _ConvKernel((1, 1, c, 4 * f),
+                             name="proj_conv")().astype(dt)
+            bns.append(_BNParams(4 * f, mutable=True, name="proj_bn")())
+            y, stats = tsm_bottleneck_proj_train(
+                x.astype(dt), w1, w2, w3, wp,
+                bns[0][0], bns[0][1], bns[1][0], bns[1][1],
+                bns[2][0], bns[2][1], bns[3][0], bns[3][1],
+                self.n_segment, self.n_div, 1e-5)
+        else:
+            y, stats = tsm_bottleneck_train(
+                x.astype(dt), w1, w2, w3,
+                bns[0][0], bns[0][1], bns[1][0], bns[1][1],
+                bns[2][0], bns[2][1],
+                self.n_segment, self.n_div, 1e-5)
         if not self.is_initializing():
             mom = 0.9
-            for (mu, var), (_, _, mean_v, var_v) in zip(
-                    [stats[0:2], stats[2:4], stats[4:6]], bns):
+            for i, (_, _, mean_v, var_v) in enumerate(bns):
+                mu, var = stats[2 * i], stats[2 * i + 1]
                 mean_v.value = mom * mean_v.value + (1 - mom) * mu
                 var_v.value = mom * var_v.value + (1 - mom) * var
         return y

@@ -183,9 +183,16 @@ def _bn_apply_relu(v4, sa_ref, sb_ref, dt):
 # ---------------------------------------------------------------------------
 
 
-def _fk1(x_ref, w1_ref, u_ref, m_ref, *, fold: int, wt: int):
+def _fk1(x_ref, *refs, fold: int, wt: int, proj: bool = False):
     """u = conv1(tshift(x)) + moments. x_ref [1,T,R,Wp,C] ->
-    u_ref [1,T,R,Wp,F], m_ref [2,F] f32 accumulator."""
+    u_ref [1,T,R,Wp,F], m_ref [2,F] f32 accumulator. With proj, x feeds
+    a second 1x1 (the stride-1 projection residual, layer1 block0) in
+    the same kernel — x is only read from HBM once for both convs:
+    extra wp_ref [C,Cp] in, pr_ref [..,Cp] + mp_ref [2,Cp] out."""
+    if proj:
+        w1_ref, wp_ref, u_ref, pr_ref, m_ref, mp_ref = refs
+    else:
+        w1_ref, u_ref, m_ref = refs
     t, r, wp, c = x_ref.shape[1:]
     f = w1_ref.shape[1]
     dt = u_ref.dtype
@@ -199,6 +206,13 @@ def _fk1(x_ref, w1_ref, u_ref, m_ref, *, fold: int, wt: int):
     u4 = acc.astype(dt).reshape(t, r, wp, f)
     u_ref[0] = u4
     _moments(u4, wt, m_ref)
+    if proj:
+        cp = wp_ref.shape[1]
+        pr = jnp.dot(x.reshape(m, c), wp_ref[:],
+                     preferred_element_type=jnp.float32)
+        pr4 = pr.astype(dt).reshape(t, r, wp, cp)
+        pr_ref[0] = pr4
+        _moments(pr4, wt, mp_ref)
 
 
 def _fk2(u_ref, top_ref, bot_ref, sa_ref, sb_ref, w2_ref, z_ref, m_ref,
@@ -351,12 +365,18 @@ def _bk2(da2_ref, t_da2, b_da2, z_ref, t_z, b_z, u_ref, t_u, b_u,
     m_ref[:] += jnp.concatenate([s, s1], axis=0)
 
 
-def _bk1(da1_ref, u_ref, x_ref, dq_ref, a1_ref, e1_ref, f1_ref, w1t_ref,
-         dx_ref, dw1_ref, *, fold: int, wt: int):
-    """du = bn1-bwd-apply(da1, u); dx = untshift(du @ w1^T) + dq;
-    accumulate dw1 = tshift(x)^T du (= x^T du + pair-diff correction on
-    the first 2*fold rows — the transpose of the forward's correction
-    dot)."""
+def _bk1(da1_ref, u_ref, x_ref, dq_ref, *refs, fold: int, wt: int,
+         proj: bool = False):
+    """du = bn1-bwd-apply(da1, u); dx = untshift(du @ w1^T) + dq (plain:
+    the identity residual grad) or + (bnp-bwd-apply(dq, pr) @ wp^T)
+    (projection residual); accumulate dw1 = tshift(x)^T du (= x^T du +
+    pair-diff correction on the first 2*fold rows — the transpose of the
+    forward's correction dot) and, with proj, dwp = x^T dpr."""
+    if proj:
+        (pr_ref, a1_ref, e1_ref, f1_ref, ap_ref, ep_ref, fp_ref,
+         w1t_ref, wpt_ref, dx_ref, dw1_ref, dwp_ref) = refs
+    else:
+        a1_ref, e1_ref, f1_ref, w1t_ref, dx_ref, dw1_ref = refs
     t, r, wp, f = da1_ref.shape[1:]
     c = x_ref.shape[4]
     dt = dx_ref.dtype
@@ -380,9 +400,22 @@ def _bk1(da1_ref, u_ref, x_ref, dq_ref, a1_ref, e1_ref, f1_ref, w1t_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 2 * fold), 3)
     sh = jnp.where(lane < fold, prv, nxt).astype(dt)
     dx4 = jnp.concatenate([sh, dxm4[..., 2 * fold :]], axis=-1)
-    dx_ref[0] = dx4 + dq_ref[0]
 
     xm = jnp.where(cmask, x_ref[0], 0.0).astype(dt)
+    if proj:
+        cp = dq_ref.shape[4]
+        dpr = (dq_ref[0].astype(jnp.float32) * ap_ref[0]
+               + pr_ref[0].astype(jnp.float32) * ep_ref[0] + fp_ref[0])
+        dpr = jnp.where(cmask, dpr, 0.0)
+        dprb = dpr.astype(dt).reshape(m, cp)
+        dres = jnp.dot(dprb, wpt_ref[:],
+                       preferred_element_type=jnp.float32)
+        dx_ref[0] = dx4 + dres.astype(dt).reshape(t, r, wp, c)
+        _acc_init(dwp_ref)
+        dwp_ref[:] += _dotT(xm.reshape(m, c), dprb)
+    else:
+        dx_ref[0] = dx4 + dq_ref[0]
+
     part = _dotT(xm.reshape(m, c), dub)  # [C, F]
     d = _tshift_diff(xm, fold)  # [T,R,Wp,2fold]
     part2 = _dotT(d.reshape(m, 2 * fold), dub)  # [2fold, F]
@@ -479,7 +512,7 @@ def _pack_w2_bwd(w2, dt):
 
 
 def _forward(x, w1, w2, w3, g1, be1, g2, be2, g3, be3, n_segment, n_div,
-             eps):
+             eps, wproj=None, gp=None, bep=None):
     nt, h, w, c = x.shape
     t = n_segment
     b = nt // t
@@ -490,33 +523,58 @@ def _forward(x, w1, w2, w3, g1, be1, g2, be2, g3, be3, n_segment, n_div,
     w2 = w2.reshape(3, 3, f, f)
     w3 = w3.reshape(f, -1).astype(dt)
     c_out = w3.shape[1]
-    assert c_out == c, "training fused block covers non-projection blocks"
+    proj = wproj is not None
+    assert proj == (c_out != c), (c, c_out)
     fold = c // n_div
     wp = _pad8(w)
     M = nt * h * w
     x5 = x.reshape(b, t, h, w, c)
     interp = jax.default_backend() != "tpu"
 
-    # FK1: conv1 + shift + moments ------------------------------------
-    bpr1 = t * wp * es * (2 * c + 2 * f) + t * wp * 4 * f
+    # FK1: conv1 + shift (+ stride-1 projection) + moments -------------
+    bpr1 = (t * wp * es * (2 * c + 2 * f + (2 * c_out if proj else 0))
+            + t * wp * 4 * (f + (c_out if proj else 0)))
     rows1 = _rows_divisor(h, bpr1)
     tile_x, _, _ = _specs(b, t, rows1, wp, c, h)
-    u5, m1 = pl.pallas_call(
-        functools.partial(_fk1, fold=fold, wt=w),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, t, h, w, f), dt),
-            jax.ShapeDtypeStruct((2, f), jnp.float32),
-        ),
-        grid=(b, h // rows1),
-        in_specs=[tile_x, _const((c, f))],
-        out_specs=(
-            pl.BlockSpec((1, t, rows1, wp, f), lambda i, j: (i, 0, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _const((2, f)),
-        ),
-        compiler_params=_vmem_params(),
-        interpret=interp,
-    )(x5, w1)
+    u_spec = pl.BlockSpec((1, t, rows1, wp, f),
+                          lambda i, j: (i, 0, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    if proj:
+        wpk = wproj.reshape(c, c_out).astype(dt)
+        pr_spec = pl.BlockSpec((1, t, rows1, wp, c_out),
+                               lambda i, j: (i, 0, j, 0, 0),
+                               memory_space=pltpu.VMEM)
+        u5, pr5, m1, mp = pl.pallas_call(
+            functools.partial(_fk1, fold=fold, wt=w, proj=True),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t, h, w, f), dt),
+                jax.ShapeDtypeStruct((b, t, h, w, c_out), dt),
+                jax.ShapeDtypeStruct((2, f), jnp.float32),
+                jax.ShapeDtypeStruct((2, c_out), jnp.float32),
+            ),
+            grid=(b, h // rows1),
+            in_specs=[tile_x, _const((c, f)), _const((c, c_out))],
+            out_specs=(u_spec, pr_spec, _const((2, f)),
+                       _const((2, c_out))),
+            compiler_params=_vmem_params(),
+            interpret=interp,
+        )(x5, w1, wpk)
+        mup, varp = _finalize_stats(mp, M, eps)
+        sap, sbp = _bn_vectors(gp, mup, varp, bep, eps)
+    else:
+        pr5 = None
+        u5, m1 = pl.pallas_call(
+            functools.partial(_fk1, fold=fold, wt=w),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t, h, w, f), dt),
+                jax.ShapeDtypeStruct((2, f), jnp.float32),
+            ),
+            grid=(b, h // rows1),
+            in_specs=[tile_x, _const((c, f))],
+            out_specs=(u_spec, _const((2, f))),
+            compiler_params=_vmem_params(),
+            interpret=interp,
+        )(x5, w1)
     mu1, var1 = _finalize_stats(m1, M, eps)
     sa1, sb1 = _bn_vectors(g1, mu1, var1, be1, eps)
 
@@ -574,14 +632,22 @@ def _forward(x, w1, w2, w3, g1, be1, g2, be2, g3, be3, n_segment, n_div,
     z = z5.reshape(nt, h, w, f)
     p = p5.reshape(nt, h, w, c_out)
     a3 = (p.astype(jnp.float32) * sa3 + sb3).astype(dt)
+    if proj:
+        pr = pr5.reshape(nt, h, w, c_out)
+        ap = (pr.astype(jnp.float32) * sap + sbp).astype(dt)
+        y = jnp.maximum(a3 + ap, 0.0)
+        stats = (mu1, var1, mu2, var2, mu3, var3, mup, varp)
+        return y, stats, (x, u, z, p, y, pr)
     y = jnp.maximum(a3 + x, 0.0)
     stats = (mu1, var1, mu2, var2, mu3, var3)
-    return y, stats, (x, u, z, p, y)
+    return y, stats, (x, u, z, p, y, None)
 
 
 def _backward(n_segment, n_div, eps, res, dy):
-    (x, u, z, p, y, stats, w1o, w2o, w3o, g1, be1, g2, be2, g3, be3) = res
-    mu1, var1, mu2, var2, mu3, var3 = stats
+    (x, u, z, p, y, pr, stats, w1o, w2o, w3o, wpo,
+     g1, be1, g2, be2, g3, be3, gp, bep) = res
+    mu1, var1, mu2, var2, mu3, var3 = stats[:6]
+    proj = pr is not None
     nt, h, w, c = x.shape
     t = n_segment
     b = nt // t
@@ -591,20 +657,26 @@ def _backward(n_segment, n_div, eps, res, dy):
     f = w1.shape[1]
     w2 = w2o.reshape(3, 3, f, f)
     w3 = w3o.reshape(f, -1).astype(dt)
-    c_out = c
+    c_out = w3.shape[1]
     fold = c // n_div
     wp = _pad8(w)
     M = nt * h * w
     interp = jax.default_backend() != "tpu"
 
-    # XLA: relu mask + BN3 backward moments (one fused pass over dy,y,p;
-    # the u-moment is centered — see _bn_bwd_vectors)
+    # XLA: relu mask + BN3 (and BNp) backward moments in one fused pass;
+    # the u-moments are centered — see _bn_bwd_vectors
     dq = jnp.where(y > 0, dy, 0).astype(dt)
     dqf = dq.astype(jnp.float32)
     s0_3 = jnp.sum(dqf, axis=(0, 1, 2))
     s1_3 = jnp.sum(dqf * (p.astype(jnp.float32) - mu3), axis=(0, 1, 2))
     a3, e3, f3, dg3, dbe3 = _bn_bwd_vectors(g3, mu3, var3, s0_3, s1_3, M,
                                             eps)
+    if proj:
+        mup, varp = stats[6:8]
+        s1_p = jnp.sum(dqf * (pr.astype(jnp.float32) - mup),
+                       axis=(0, 1, 2))
+        ap_, ep_, fp_, dgp, dbep = _bn_bwd_vectors(
+            gp, mup, varp, s0_3, s1_p, M, eps)
     sa1, sb1 = _bn_vectors(g1, mu1, var1, be1, eps)
     sa2, sb2 = _bn_vectors(g2, mu2, var2, be2, eps)
 
@@ -681,30 +753,55 @@ def _backward(n_segment, n_div, eps, res, dy):
                                              eps)
 
     # BK1 ---------------------------------------------------------------
-    bpr = t * wp * es * (2 * f * 2 + 2 * c * 3 + 4 * c) + t * wp * 4 * f
+    bpr = (t * wp * es * (2 * f * 2 + 2 * c * 2 + 2 * c_out
+                          + (2 * c_out if proj else 0) + 4 * c)
+           + t * wp * 4 * f)
     rows = _rows_divisor(h, bpr)
     tile_f1, _, _ = _specs(b, t, rows, wp, f, h)
     tile_c, _, _ = _specs(b, t, rows, wp, c, h)
-    dx5, dw1 = pl.pallas_call(
-        functools.partial(_bk1, fold=fold, wt=w),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, t, h, w, c), dt),
-            jax.ShapeDtypeStruct((c, f), jnp.float32),
-        ),
-        grid=(b, h // rows),
-        in_specs=[tile_f1, tile_f1, tile_c, tile_c,
-                  _const((1, f)), _const((1, f)), _const((1, f)),
-                  _const((f, c))],
-        out_specs=(
-            pl.BlockSpec((1, t, rows, wp, c), lambda i, j: (i, 0, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _const((c, f)),
-        ),
-        compiler_params=_vmem_params(),
-        interpret=interp,
-    )(da1_5, u5, x5, dq5,
-      _vec(a1, f), _vec(e1, f), _vec(f1v, f),
-      w1.reshape(c, f).T.astype(dt))
+    tile_co, _, _ = _specs(b, t, rows, wp, c_out, h)
+    dx_spec = pl.BlockSpec((1, t, rows, wp, c),
+                           lambda i, j: (i, 0, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    vecs1 = [_vec(a1, f), _vec(e1, f), _vec(f1v, f)]
+    w1t = w1.reshape(c, f).T.astype(dt)
+    if proj:
+        wpk = wpo.reshape(c, c_out).astype(dt)
+        pr5 = pr.reshape(b, t, h, w, c_out)
+        dx5, dw1, dwp = pl.pallas_call(
+            functools.partial(_bk1, fold=fold, wt=w, proj=True),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t, h, w, c), dt),
+                jax.ShapeDtypeStruct((c, f), jnp.float32),
+                jax.ShapeDtypeStruct((c, c_out), jnp.float32),
+            ),
+            grid=(b, h // rows),
+            in_specs=[tile_f1, tile_f1, tile_c, tile_co, tile_co,
+                      _const((1, f)), _const((1, f)), _const((1, f)),
+                      _const((1, c_out)), _const((1, c_out)),
+                      _const((1, c_out)),
+                      _const((f, c)), _const((c_out, c))],
+            out_specs=(dx_spec, _const((c, f)), _const((c, c_out))),
+            compiler_params=_vmem_params(),
+            interpret=interp,
+        )(da1_5, u5, x5, dq5, pr5, *vecs1,
+          _vec(ap_, c_out), _vec(ep_, c_out), _vec(fp_, c_out),
+          w1t, wpk.T)
+    else:
+        dx5, dw1 = pl.pallas_call(
+            functools.partial(_bk1, fold=fold, wt=w),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t, h, w, c), dt),
+                jax.ShapeDtypeStruct((c, f), jnp.float32),
+            ),
+            grid=(b, h // rows),
+            in_specs=[tile_f1, tile_f1, tile_c, tile_c,
+                      _const((1, f)), _const((1, f)), _const((1, f)),
+                      _const((f, c))],
+            out_specs=(dx_spec, _const((c, f))),
+            compiler_params=_vmem_params(),
+            interpret=interp,
+        )(da1_5, u5, x5, dq5, *vecs1, w1t)
 
     dx = dx5.reshape(nt, h, w, c)
     # unpack dw2 [3,3F,F] (dr, dc-major K) -> [3,3,F,F]; cotangents must
@@ -713,9 +810,13 @@ def _backward(n_segment, n_div, eps, res, dy):
     dw2 = dw2p.reshape(w2o.shape).astype(w2o.dtype)
     dw3 = dw3.reshape(w3o.shape).astype(w3o.dtype)
     as_p = lambda dg, g: dg.astype(g.dtype)
-    return (dx, dw1, dw2, dw3,
+    base = (dx, dw1, dw2, dw3,
             as_p(dg1, g1), as_p(dbe1, be1), as_p(dg2, g2),
             as_p(dbe2, be2), as_p(dg3, g3), as_p(dbe3, be3))
+    if proj:
+        return base + (dwp.reshape(wpo.shape).astype(wpo.dtype),
+                       as_p(dgp, gp), as_p(dbep, bep))
+    return base
 
 
 # ---------------------------------------------------------------------------
@@ -743,19 +844,55 @@ def tsm_bottleneck_train(x, w1, w2, w3, g1, be1, g2, be2, g3, be3,
 
 def _vjp_fwd(x, w1, w2, w3, g1, be1, g2, be2, g3, be3, n_segment, n_div,
              eps):
-    y, stats, (x_, u, z, p, y_) = _forward(
+    y, stats, (x_, u, z, p, y_, pr) = _forward(
         x, w1, w2, w3, g1, be1, g2, be2, g3, be3, n_segment, n_div, eps)
-    res = (x, u, z, p, y,
+    res = (x, u, z, p, y, pr,
            tuple(jax.lax.stop_gradient(s) for s in stats),
-           w1, w2, w3, g1, be1, g2, be2, g3, be3)
+           w1, w2, w3, None, g1, be1, g2, be2, g3, be3, None, None)
     return (y, stats), res
 
 
 def _vjp_bwd(n_segment, n_div, eps, res, ct):
     dy, _dstats = ct  # running-stat updates do not backprop (buffers)
-    grads = _backward(n_segment, n_div, eps, res, dy)
-    (dx, dw1, dw2, dw3, dg1, dbe1, dg2, dbe2, dg3, dbe3) = grads
-    return (dx, dw1, dw2, dw3, dg1, dbe1, dg2, dbe2, dg3, dbe3)
+    return _backward(n_segment, n_div, eps, res, dy)
 
 
 tsm_bottleneck_train.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15))
+def tsm_bottleneck_proj_train(x, w1, w2, w3, wp, g1, be1, g2, be2, g3,
+                              be3, gp, bep, n_segment: int,
+                              n_div: int = 8, eps: float = 1e-5):
+    """Training-mode fused STRIDE-1 PROJECTION bottleneck (ResNet50
+    layer1 block0): like tsm_bottleneck_train plus the 1x1 projection
+    residual wp [1,1,C,Cout] / gp/bep (proj BatchNorm) — the projection
+    conv and its moments ride in the conv1 kernel (x is read once for
+    both), its BN backward in the conv1-backward kernel. Returns
+    (y, (mu1, var1, mu2, var2, mu3, var3, mup, varp))."""
+    y, stats, _ = _forward(x, w1, w2, w3, g1, be1, g2, be2, g3, be3,
+                           n_segment, n_div, eps, wproj=wp, gp=gp,
+                           bep=bep)
+    return y, stats
+
+
+def _vjp_fwd_proj(x, w1, w2, w3, wp, g1, be1, g2, be2, g3, be3, gp, bep,
+                  n_segment, n_div, eps):
+    y, stats, (x_, u, z, p, y_, pr) = _forward(
+        x, w1, w2, w3, g1, be1, g2, be2, g3, be3, n_segment, n_div, eps,
+        wproj=wp, gp=gp, bep=bep)
+    res = (x, u, z, p, y, pr,
+           tuple(jax.lax.stop_gradient(s) for s in stats),
+           w1, w2, w3, wp, g1, be1, g2, be2, g3, be3, gp, bep)
+    return (y, stats), res
+
+
+def _vjp_bwd_proj(n_segment, n_div, eps, res, ct):
+    dy, _dstats = ct
+    (dx, dw1, dw2, dw3, dg1, dbe1, dg2, dbe2, dg3, dbe3, dwp, dgp,
+     dbep) = _backward(n_segment, n_div, eps, res, dy)
+    return (dx, dw1, dw2, dw3, dwp, dg1, dbe1, dg2, dbe2, dg3, dbe3,
+            dgp, dbep)
+
+
+tsm_bottleneck_proj_train.defvjp(_vjp_fwd_proj, _vjp_bwd_proj)
