@@ -111,7 +111,7 @@ def run_real(score_batch: int = 16, n_videos: int = N_VIDEOS):
     assert jax.default_backend() == "tpu", "run on TPU"
 
     t0 = time.time()
-    paths = make_synth_corpus_on_disk(CORPUS_ROOT, n_videos=N_VIDEOS,
+    paths = make_synth_corpus_on_disk(CORPUS_ROOT, n_videos=n_videos,
                                       video_sec=VIDEO_SEC)
     print(f"# corpus ready {time.time()-t0:.0f}s", flush=True)
     native = install_native_loader(8)

@@ -48,8 +48,10 @@ def main():
 
     cfg = Config()
     overrides = []
-    if args.dtype == "bf16":
-        overrides.append("model.dtype=bfloat16")
+    # the config field is model.compute_dtype (default bfloat16); map
+    # the flag both ways so the printed dtype matches what actually ran
+    overrides.append("model.compute_dtype="
+                     + ("bfloat16" if args.dtype == "bf16" else "float32"))
     if args.impl:
         overrides.append(f"model.tsm_impl={args.impl}")
     if overrides:

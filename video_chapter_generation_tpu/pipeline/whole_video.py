@@ -234,17 +234,14 @@ class ChapterPipeline:
             import jax
 
             pack = jax.device_put(frame_pack)
-            for rows, batch in batches:
-                scores = np.asarray(self.score_fn(batch, pack))
-                for j, i in enumerate(rows):
-                    infos[i].pred_score = float(scores[j])
-                    infos[i].pred_label = int(scores[j] >= 0.5)
+            score = lambda batch: self.score_fn(batch, pack)
         else:
-            for rows, batch in batches:
-                scores = np.asarray(self.score_fn(batch))
-                for j, i in enumerate(rows):
-                    infos[i].pred_score = float(scores[j])
-                    infos[i].pred_label = int(scores[j] >= 0.5)
+            score = self.score_fn
+        for rows, batch in batches:
+            scores = np.asarray(score(batch))
+            for j, i in enumerate(rows):
+                infos[i].pred_score = float(scores[j])
+                infos[i].pred_label = int(scores[j] >= 0.5)
         self.timer.stop("device_score", len(infos))
         cut_points = convert_clip_label2cut_point(
             [c.pred_label for c in infos], self.clip_frame_num,
