@@ -19,6 +19,12 @@ from video_chapter_generation_tpu.ops.temporal_shift import temporal_shift
 T, NDIV, EPS = 4, 8, 1e-5
 
 
+@pytest.fixture(autouse=True)
+def _reset_force_rows():
+    yield
+    tbt.FORCE_ROWS = None
+
+
 def _conv(x, w, k):
     return jax.lax.conv_general_dilated(
         x, w.reshape(k, k, w.shape[-2], w.shape[-1]), (1, 1),
@@ -170,6 +176,64 @@ def test_proj_forward_and_gradients(rows):
     g = jax.grad(
         lambda *a: jnp.sum(
             tbt.tsm_bottleneck_proj_train(*a, T, NDIV, EPS)[0] * cot),
+        argnums=tuple(range(13)))(*args)
+    names = ["dx", "dw1", "dw2", "dw3", "dwp", "dg1", "dbe1", "dg2",
+             "dbe2", "dg3", "dbe3", "dgp", "dbep"]
+    for name, gr, gf in zip(names, g_ref, g):
+        scale = max(float(jnp.max(jnp.abs(gr))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4 * scale,
+            err_msg=name)
+
+
+def reference_s2(x, w1, w2, w3, wp, g1, be1, g2, be2, g3, be3, gp, bep):
+    xs = temporal_shift(x, T, NDIV)
+    u = _conv(xs, w1, 1)
+    a1, mu1, v1 = _bn_train(u, g1, be1)
+    z = _conv_s(jnp.maximum(a1, 0), w2, 3, 2)
+    a2, mu2, v2 = _bn_train(z, g2, be2)
+    p = _conv(jnp.maximum(a2, 0), w3, 1)
+    a3, mu3, v3 = _bn_train(p, g3, be3)
+    pr = _conv_s(x, wp, 1, 2)
+    apx, mup, vp = _bn_train(pr, gp, bep)
+    y = jnp.maximum(a3 + apx, 0)
+    return y, (mu1, v1, mu2, v2, mu3, v3, mup, vp)
+
+
+def _conv_s(x, w, k, s):
+    return jax.lax.conv_general_dilated(
+        x, w.reshape(k, k, w.shape[-2], w.shape[-1]), (s, s),
+        [(k // 2, k // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("h,w,rows", [(8, 8, None), (8, 8, 4),
+                                      (4, 12, None), (8, 12, 2)],
+                         ids=["whole", "tiled", "ragged", "ragged-tiled"])
+def test_s2_forward_and_gradients(h, w, rows):
+    """Stride-2 projection variant (layers 2-4 block0): forward, the 8
+    batch stats (bn1 full-res count, bn2/bn3/proj half-res) and all 13
+    gradients vs jax.grad of the XLA reference — incl. the planar-column
+    da1/dx path and its XLA interleave."""
+    tbt.FORCE_ROWS = rows
+    rng = np.random.default_rng(7)
+    b, c, f = 2, 16, 8
+    args = _proj_args(rng, b, h, w, c, f)
+    y_ref, stats_ref = reference_s2(*args)
+    y, stats = tbt.tsm_bottleneck_s2_train(*args, T, NDIV, EPS)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    for k, (s, sr) in enumerate(zip(stats, stats_ref)):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(sr),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"stat{k}")
+
+    cot = jnp.asarray(rng.standard_normal(y_ref.shape), jnp.float32)
+    g_ref = jax.grad(lambda *a: jnp.sum(reference_s2(*a)[0] * cot),
+                     argnums=tuple(range(13)))(*args)
+    g = jax.grad(
+        lambda *a: jnp.sum(
+            tbt.tsm_bottleneck_s2_train(*a, T, NDIV, EPS)[0] * cot),
         argnums=tuple(range(13)))(*args)
     names = ["dx", "dw1", "dw2", "dw3", "dwp", "dg1", "dbe1", "dg2",
              "dbe2", "dg3", "dbe3", "dgp", "dbep"]

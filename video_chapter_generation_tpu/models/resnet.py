@@ -232,15 +232,17 @@ class Bottleneck(nn.Module):
         if impl == "fusedtrain":
             # training-mode fused whole-block kernels (batch-stat BN
             # accumulated in-kernel + hand-written Pallas VJP,
-            # ops/tsm_block_train_pallas.py) for stride-1 blocks (plain
-            # AND the layer1 projection block0); stride-2 blocks fall
-            # back to tap3. At inference this impl behaves as "fusedall".
+            # ops/tsm_block_train_pallas.py) for ALL 16 bottlenecks:
+            # stride-1 (plain and the layer1 projection block0) and the
+            # stride-2 block0s of layers 2-4. At inference this impl
+            # behaves as "fusedall".
             if use_ra:
                 impl = "fusedall"
-            elif (self.stride == 1
-                  and self.n_segment > 0 and self.fuse_tsm
+            elif (self.n_segment > 0 and self.fuse_tsm
                   and (jax.default_backend() == "tpu"
-                       or FORCE_WHOLE_BLOCKS)):
+                       or FORCE_WHOLE_BLOCKS)
+                  and (self.stride == 1
+                       or (x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0))):
                 return self._whole_block_train(x)
             else:
                 impl = "tap3"
@@ -337,13 +339,15 @@ class Bottleneck(nn.Module):
     def _whole_block_train(self, x):
         """Training fast path: the bottleneck's convs fused with temporal
         shift, in-kernel batch-stat accumulation and a full Pallas custom
-        VJP (ops/tsm_block_train_pallas.py); stride-1 projection blocks
-        take the proj variant (projection conv fused into the conv1
-        kernel). Parameter and batch_stats trees identical to the
-        standard path; running averages updated with nn.BatchNorm's
-        convention (momentum 0.9, biased batch variance)."""
+        VJP (ops/tsm_block_train_pallas.py); projection blocks take the
+        proj/s2 variants (projection conv fused into the conv1 kernel),
+        so ALL 16 ResNet50 bottlenecks train fused. Parameter and
+        batch_stats trees identical to the standard path; running
+        averages updated with nn.BatchNorm's convention (momentum 0.9,
+        biased batch variance)."""
         from ..ops.tsm_block_train_pallas import (
             tsm_bottleneck_proj_train,
+            tsm_bottleneck_s2_train,
             tsm_bottleneck_train,
         )
 
@@ -359,7 +363,9 @@ class Bottleneck(nn.Module):
             wp = _ConvKernel((1, 1, c, 4 * f),
                              name="proj_conv")().astype(dt)
             bns.append(_BNParams(4 * f, mutable=True, name="proj_bn")())
-            y, stats = tsm_bottleneck_proj_train(
+            block_fn = (tsm_bottleneck_s2_train if self.stride == 2
+                        else tsm_bottleneck_proj_train)
+            y, stats = block_fn(
                 x.astype(dt), w1, w2, w3, wp,
                 bns[0][0], bns[0][1], bns[1][0], bns[1][1],
                 bns[2][0], bns[2][1], bns[3][0], bns[3][1],

@@ -17,6 +17,14 @@ fusions ~22%).
 Design — three fused kernels per direction with full-batch stat barriers
 between them (the minimum legal structure):
 
+Variants: plain stride-1 (tsm_bottleneck_train), stride-1 projection
+(tsm_bottleneck_proj_train, layer1 block0 — the projection 1x1 rides in
+the conv1 kernels) and stride-2 projection (tsm_bottleneck_s2_train,
+layers 2-4 block0 — stride-2 selections use the inference kernels'
+pair-merge constructions; the conv-transpose emits planar even/odd
+column outputs that ONE XLA reshape interleaves). Together they cover
+all 16 ResNet50 bottlenecks.
+
 forward (per stride-1 non-projection bottleneck):
   FK1  u = conv1(tshift(x))                 + accumulate (sum u, sum u^2)
   FK2  z = conv2_3x3(relu(bn1-apply(u)))    + accumulate moments of z
@@ -85,6 +93,19 @@ def _rows_divisor(h: int, bytes_per_row: int,
     rows = max(1, min(h, budget // max(bytes_per_row, 1)))
     while h % rows:
         rows -= 1
+    return rows
+
+
+def _rows_divisor_even(h: int, bytes_per_row: int,
+                       budget: int = 24 * 1024 * 1024) -> int:
+    """Largest EVEN divisor of h in budget (stride-2 kernels split row
+    tiles into even/odd planes; h is even for every stride-2 block)."""
+    assert h % 2 == 0, h
+    rows = _rows_divisor(h, bytes_per_row, budget)
+    while rows % 2:
+        rows -= 1
+        while h % rows:
+            rows -= 1
     return rows
 
 
@@ -183,12 +204,47 @@ def _bn_apply_relu(v4, sa_ref, sb_ref, dt):
 # ---------------------------------------------------------------------------
 
 
-def _fk1(x_ref, *refs, fold: int, wt: int, proj: bool = False):
+def _merge_pairs(v4, wq):
+    """Pair-merge adjacent columns of a NATURAL-layout [T,R,Wp,F] tensor
+    (Wp even) into the planar form [T,R,Wp/2,2F] (lanes [0,F) = even
+    columns, [F,2F) = odd), zero-padded on the merged width up to the
+    block width wq. The merge is the Mosaic-legal direction (FROM a
+    natural layout); the result is never reshaped again."""
+    t, r, wp, f = v4.shape
+    mw = wp // 2
+    vm = v4.reshape(t * r * wp, f).reshape(t * r * mw, 2 * f)
+    vm4 = vm.reshape(t, r, mw, 2 * f)
+    if wq > mw:
+        vm4 = jnp.concatenate(
+            [vm4, jnp.zeros((t, r, wq - mw, 2 * f), vm4.dtype)], axis=2)
+    return vm4
+
+
+def _untshift(dxm4, fold: int, dt):
+    """Transpose of the temporal shift: lanes [0,fold) read x[t+1] in the
+    forward, so their dx[t] receives the cotangent's t-1 slot (and vice
+    versa for lanes [fold,2fold)); remaining lanes pass through."""
+    t = dxm4.shape[0]
+    x2 = dxm4[..., : 2 * fold]
+    z2 = jnp.zeros_like(x2[:1])
+    prv = jnp.concatenate([z2, x2[: t - 1]], axis=0)
+    nxt = jnp.concatenate([x2[1:], z2], axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 2 * fold), 3)
+    sh = jnp.where(lane < fold, prv, nxt).astype(dt)
+    return jnp.concatenate([sh, dxm4[..., 2 * fold :].astype(dt)], axis=-1)
+
+
+def _fk1(x_ref, *refs, fold: int, wt: int, proj: bool = False,
+         s2: bool = False):
     """u = conv1(tshift(x)) + moments. x_ref [1,T,R,Wp,C] ->
     u_ref [1,T,R,Wp,F], m_ref [2,F] f32 accumulator. With proj, x feeds
-    a second 1x1 (the stride-1 projection residual, layer1 block0) in
-    the same kernel — x is only read from HBM once for both convs:
-    extra wp_ref [C,Cp] in, pr_ref [..,Cp] + mp_ref [2,Cp] out."""
+    a second 1x1 (the projection residual) in the same kernel — x is
+    only read from HBM once for both convs: extra wp_ref [C,Cp] in,
+    pr_ref + mp_ref [2,Cp] out. s2 makes that projection the STRIDE-2
+    1x1 (layers 2-4 block0): even rows via the untiled split, even
+    columns via one natural-layout pair merge + lane slice (the proven
+    tsm_block_pallas._kernel_s2 construction); pr_ref is then the
+    half-resolution [1,T,R/2,Wq,Cp] block (R even)."""
     if proj:
         w1_ref, wp_ref, u_ref, pr_ref, m_ref, mp_ref = refs
     else:
@@ -206,7 +262,21 @@ def _fk1(x_ref, *refs, fold: int, wt: int, proj: bool = False):
     u4 = acc.astype(dt).reshape(t, r, wp, f)
     u_ref[0] = u4
     _moments(u4, wt, m_ref)
-    if proj:
+    if proj and s2:
+        cp = wp_ref.shape[1]
+        rr, mw = r // 2, wp // 2
+        xe = x.reshape(t, rr, 2, wp, c)[:, :, 0]  # even rows
+        xpe = xe.reshape(t * rr * wp, c).reshape(
+            t * rr * mw, 2 * c)[:, :c]  # even columns (lane slice)
+        pr = jnp.dot(xpe, wp_ref[:], preferred_element_type=jnp.float32)
+        pr4 = pr.astype(dt).reshape(t, rr, mw, cp)
+        wq = pr_ref.shape[3]
+        if wq > mw:
+            pr4 = jnp.concatenate(
+                [pr4, jnp.zeros((t, rr, wq - mw, cp), dt)], axis=2)
+        pr_ref[0] = pr4
+        _moments(pr4, wt // 2, mp_ref)
+    elif proj:
         cp = wp_ref.shape[1]
         pr = jnp.dot(x.reshape(m, c), wp_ref[:],
                      preferred_element_type=jnp.float32)
@@ -239,6 +309,58 @@ def _fk2(u_ref, top_ref, bot_ref, sa_ref, sb_ref, w2_ref, z_ref, m_ref,
     z4 = acc.astype(dt).reshape(t, r, wp, f)
     z_ref[0] = z4
     _moments(z4, wt, m_ref)
+
+
+def _fk2_s2(u_ref, top_ref, sa_ref, sb_ref, w2_ref, z_ref, m_ref,
+            *, wt: int):
+    """Stride-2 FK2: z = conv2_3x3/s2(relu(bn1-apply(u))) + moments.
+
+    u_ref [1,T,2R,Wp,F] = the input rows feeding out-rows [jR,(j+1)R);
+    top_ref [1,T,1,Wp,F] = input row 2jR-1 (clamped; zeroed at j==0);
+    z_ref [1,T,R,Wq,F] half-resolution. Out row r reads input rows
+    2r-1..2r+1 and out col q reads input cols 2q-1..2q+1 (pad 1, k=3,
+    s=2). Column selection uses the pair-merge construction proven in
+    tsm_block_pallas._kernel_s2 'pair' mode: every tap of a true output
+    reads true columns only."""
+    t, r2, wp, f = u_ref.shape[1:]
+    ro = r2 // 2
+    dt = z_ref.dtype
+    cmask = _col_lt(wp, wt)
+
+    def y1(part):
+        v = _bn_apply_relu(part, sa_ref, sb_ref, dt)
+        return jnp.where(cmask, v, 0.0).astype(dt)
+
+    j = pl.program_id(1)
+    topm = jnp.where(j == 0, 0.0, 1.0).astype(dt)
+    y1e = jnp.concatenate([topm * y1(top_ref[0]), y1(u_ref[0])], axis=1)
+    # [T, 2R+1, Wp, F]; index k = input row 2jR + k - 1
+    ye = y1e[:, : 2 * ro].reshape(t, ro, 2, wp, f)
+    taps = (
+        ye[:, :, 0],  # dr=0: input rows 2r-1
+        ye[:, :, 1],  # dr=1: rows 2r
+        (jnp.concatenate([ye[:, 1:, 0], y1e[:, 2 * ro : 2 * ro + 1]],
+                         axis=1)
+         if ro > 1 else y1e[:, 2 : 3]),  # dr=2: rows 2r+1
+    )
+    mw = wp // 2
+    m2 = t * ro * mw
+    col0 = (jax.lax.broadcasted_iota(jnp.int32, (m2, 1), 0) % mw) == 0
+    zero_row = jnp.zeros((1, 2 * f), dt)
+    acc = jnp.zeros((m2, f), jnp.float32)
+    for dr in (1, 0, 2):
+        v = taps[dr].reshape(t * ro * wp, f).reshape(m2, 2 * f)
+        vprev = jnp.concatenate([zero_row, v[:-1]], axis=0)
+        tap_l = jnp.where(col0, 0.0, vprev[:, f:]).astype(dt)
+        z2 = jnp.concatenate([tap_l, v], axis=-1)  # [M2,3F] = (L,C,R)
+        acc += jnp.dot(z2, w2_ref[dr], preferred_element_type=jnp.float32)
+    z4 = acc.astype(dt).reshape(t, ro, mw, f)
+    wq = z_ref.shape[3]
+    if wq > mw:
+        z4 = jnp.concatenate(
+            [z4, jnp.zeros((t, ro, wq - mw, f), dt)], axis=2)
+    z_ref[0] = z4
+    _moments(z4, wt // 2, m_ref)
 
 
 def _fk3(z_ref, sa_ref, sb_ref, w3_ref, p_ref, m_ref, *, wt: int):
@@ -365,6 +487,112 @@ def _bk2(da2_ref, t_da2, b_da2, z_ref, t_z, b_z, u_ref, t_u, b_u,
     m_ref[:] += jnp.concatenate([s, s1], axis=0)
 
 
+def _bk2_s2(da2_ref, b_da2, z_ref, b_z, u_ref, t_u, a2_ref, e2_ref,
+            f2_ref, sa1_ref, sb1_ref, mu1d_ref, w2c_ref, w2l_ref,
+            da1_ref, dw2_ref, m_ref, *, wt: int):
+    """Stride-2 BK2: dz = bn2-bwd-apply(da2, z) (half-res); da1 =
+    conv2/s2^T(dz) * relu'(y1) (FULL-res, stored in the PLANAR column
+    form [1,T,2R,Wq,2F]: lanes [0,F) = even columns, [F,2F) = odd — the
+    zero-interleave a strided scatter would need is Mosaic-illegal, so
+    the column interleave is ONE XLA reshape outside); accumulate
+    dw2[dr,dc] = y1[2r+dr-1, 2q+dc-1]^T dz[r,q] and the BN1 backward
+    moments (per PLANE [2,2F]; the wrapper folds the two lane groups).
+
+    Transpose placement: full row 2k gets dz[k] @ w2[1,:]^T; full row
+    2k+1 gets dz[k] @ w2[2,:]^T + dz[k+1] @ w2[0,:]^T (bottom halo row,
+    zeroed at the true image bottom — the conv-transpose's padding).
+    Even columns take dc=1; odd column 2q+1 takes dc=2 at q plus dc=0 at
+    q+1 (a half-res column shift; zero past the true right edge by the
+    dz column mask). w2c_ref [3,F,2F] = [w2[dr,1]^T | w2[dr,2]^T];
+    w2l_ref [3,F,F] = w2[dr,0]^T."""
+    t, ro, wq, f = da2_ref.shape[1:]
+    wp = u_ref.shape[3]
+    r2 = 2 * ro
+    dt = da1_ref.dtype
+    j = pl.program_id(1)
+    n = pl.num_programs(1)
+    wo_t = wt // 2
+    cmask_h = _col_lt(wq, wo_t)
+    cmask_f = _col_lt(wp, wt)
+
+    def dz_of(da2p, zp):
+        v = (da2p.astype(jnp.float32) * a2_ref[0]
+             + zp.astype(jnp.float32) * e2_ref[0] + f2_ref[0])
+        return jnp.where(cmask_h, v, 0.0).astype(dt)
+
+    botm = jnp.where(j == n - 1, 0.0, 1.0).astype(dt)
+    dze = jnp.concatenate(
+        [dz_of(da2_ref[0], z_ref[0]), botm * dz_of(b_da2[0], b_z[0])],
+        axis=1)  # [T, R+1, Wq, F]; index k = half-res out row jR + k
+
+    me = t * (ro + 1) * wq
+    dzf = dze.reshape(me, f)
+    # half-res column shift: col q reads dz col q+1 (zero past the right
+    # edge — dze is masked to the true half width)
+    dzs = jnp.concatenate(
+        [dze[:, :, 1:], jnp.zeros((t, ro + 1, 1, f), dt)],
+        axis=2).reshape(me, f)
+    planes = []
+    for dr in range(3):
+        a = jnp.dot(dzf, w2c_ref[dr], preferred_element_type=jnp.float32)
+        bv = jnp.dot(dzs, w2l_ref[dr], preferred_element_type=jnp.float32)
+        a4 = a.reshape(t, ro + 1, wq, 2 * f)
+        b4 = bv.reshape(t, ro + 1, wq, f)
+        planes.append(
+            jnp.concatenate([a4[..., :f], a4[..., f:] + b4], axis=-1))
+    pe = planes[1][:, :ro]                      # full rows 2k
+    po = planes[2][:, :ro] + planes[0][:, 1:]   # full rows 2k+1
+    pf = jnp.concatenate(
+        [pe.reshape(t, ro, 1, wq, 2 * f),
+         po.reshape(t, ro, 1, wq, 2 * f)], axis=2
+    ).reshape(t, r2, wq, 2 * f)  # f32 planar, full rows
+
+    def y1_of(upart):
+        v = _bn_apply_relu(upart, sa1_ref, sb1_ref, dt)
+        return jnp.where(cmask_f, v, 0.0).astype(dt)
+
+    topm = jnp.where(j == 0, 0.0, 1.0).astype(dt)
+    y1e = jnp.concatenate([topm * y1_of(t_u[0]), y1_of(u_ref[0])], axis=1)
+    # [T, 2R+1, Wp, F]; index k = full row 2jR + k - 1
+    y1m = _merge_pairs(y1e[:, 1:], wq)  # the tile's own rows, planar
+    da1 = jnp.where(y1m > 0, pf, 0.0)   # f32
+    da1_ref[0] = da1.astype(dt)
+
+    # BN1 backward moments, per plane (the wrapper folds lane groups)
+    um = _merge_pairs(
+        jnp.where(cmask_f, u_ref[0], 0.0).astype(dt), wq)
+    s = jnp.sum(da1.reshape(-1, 2 * f), axis=0, keepdims=True)
+    s1 = jnp.sum(
+        (da1 * (um.astype(jnp.float32) - mu1d_ref[0])).reshape(-1, 2 * f),
+        axis=0, keepdims=True)
+    _acc_init(m_ref)
+    m_ref[:] += jnp.concatenate([s, s1], axis=0)
+
+    # dw2[dr] = [sel_L | sel_C | sel_R]^T dz with sel_dc = y1 at rows
+    # 2r+dr-1, cols 2q+dc-1 — row taps from the halo-extended planar y1,
+    # column taps as plane slices (dc=0 = odd plane shifted down one
+    # half-res column, zero at q=0)
+    y1me = _merge_pairs(y1e, wq)  # [T, 2R+1, Wq, 2F]
+    yem = y1me[:, : 2 * ro].reshape(t, ro, 2, wq, 2 * f)
+    rtaps = (
+        yem[:, :, 0],  # full rows 2r-1
+        yem[:, :, 1],  # rows 2r
+        (jnp.concatenate([yem[:, 1:, 0], y1me[:, 2 * ro : 2 * ro + 1]],
+                         axis=1)
+         if ro > 1 else y1me[:, 2 : 3]),  # rows 2r+1
+    )
+    m2 = t * ro * wq
+    dzb = dze[:, :ro].reshape(m2, f)
+    zc = jnp.zeros((t, ro, 1, f), dt)
+    _acc_init(dw2_ref)
+    for dr in range(3):
+        v = rtaps[dr]
+        ev, od = v[..., :f], v[..., f:]
+        odm = jnp.concatenate([zc, od[:, :, :-1]], axis=2)
+        sel = jnp.concatenate([odm, ev, od], axis=-1)  # (L, C, R)
+        dw2_ref[dr] += _dotT(sel.reshape(m2, 3 * f), dzb)
+
+
 def _bk1(da1_ref, u_ref, x_ref, dq_ref, *refs, fold: int, wt: int,
          proj: bool = False):
     """du = bn1-bwd-apply(da1, u); dx = untshift(du @ w1^T) + dq (plain:
@@ -423,6 +651,78 @@ def _bk1(da1_ref, u_ref, x_ref, dq_ref, *refs, fold: int, wt: int,
         [part2, jnp.zeros((c - 2 * fold, f), jnp.float32)], axis=0)
     _acc_init(dw1_ref)
     dw1_ref[:] += part + corr
+
+
+def _bk1_s2(da1p_ref, u_ref, x_ref, dpr_ref, a1d_ref, e1d_ref, f1d_ref,
+            w1t_ref, wpt_ref, dxp_ref, dw1_ref, dwp_ref, *, fold: int,
+            wt: int):
+    """Stride-2 BK1, entirely in the planar column space: du = bn1-bwd-
+    apply(da1, u) per plane; dx = untshift(du @ w1^T) per plane plus the
+    stride-2 projection residual grad (dpr @ wp^T at even rows of the
+    even plane); accumulate dw1 = tshift(x)^T du (both planes +
+    per-plane pair-diff corrections) and dwp = x[even rows, even
+    cols]^T dpr. Output dx stays PLANAR [1,T,R,Wq,2C]; the wrapper's
+    one XLA reshape interleaves the columns back.
+
+    da1p_ref [1,T,R,Wq,2F] (planar, from _bk2_s2); u/x natural
+    [1,T,R,Wp,*] (pair-merged in-kernel, the legal direction); dpr_ref
+    [1,T,R/2,Wq,Cp] = bnp-bwd-apply(dq, pr), computed in XLA (half-res
+    elementwise). Vectors a1d/e1d/f1d are the BN1-backward A/E/F
+    duplicated over the two lane groups [1,2F]."""
+    t, r, wq, f2 = da1p_ref.shape[1:]
+    f = f2 // 2
+    wp = u_ref.shape[3]
+    c = x_ref.shape[4]
+    cp = dpr_ref.shape[4]
+    rr = r // 2
+    dt = dxp_ref.dtype
+    cmask_f = _col_lt(wp, wt)
+    hmask = _col_lt(wq, wt // 2)
+
+    um = _merge_pairs(jnp.where(cmask_f, u_ref[0], 0.0).astype(dt), wq)
+    du = (da1p_ref[0].astype(jnp.float32) * a1d_ref[0]
+          + um.astype(jnp.float32) * e1d_ref[0] + f1d_ref[0])
+    du = jnp.where(hmask, du, 0.0)
+    dub = du.astype(dt)
+    m2 = t * r * wq
+    du_e = dub[..., :f].reshape(m2, f)
+    du_o = dub[..., f:].reshape(m2, f)
+
+    dx_e = jnp.dot(du_e, w1t_ref[:],
+                   preferred_element_type=jnp.float32)
+    dx_o = jnp.dot(du_o, w1t_ref[:],
+                   preferred_element_type=jnp.float32)
+    dx_e4 = _untshift(dx_e.astype(dt).reshape(t, r, wq, c), fold, dt)
+    dx_o4 = _untshift(dx_o.astype(dt).reshape(t, r, wq, c), fold, dt)
+
+    # projection residual: dpr @ wp^T lands on even rows / even columns
+    dprm = jnp.where(hmask, dpr_ref[0].astype(jnp.float32), 0.0)
+    dprb = dprm.astype(dt).reshape(t * rr * wq, cp)
+    dres = jnp.dot(dprb, wpt_ref[:], preferred_element_type=jnp.float32)
+    dres5 = dres.astype(dt).reshape(t, rr, 1, wq, c)
+    dxe5 = dx_e4.reshape(t, rr, 2, wq, c)
+    dxe5 = jnp.concatenate(
+        [dxe5[:, :, :1] + dres5, dxe5[:, :, 1:]], axis=2)
+    dx_e4 = dxe5.reshape(t, r, wq, c)
+    dxp_ref[0] = jnp.concatenate([dx_e4, dx_o4], axis=-1)
+
+    xm = _merge_pairs(jnp.where(cmask_f, x_ref[0], 0.0).astype(dt), wq)
+    xe4 = xm[..., :c]
+    xo4 = xm[..., c:]
+    part = (_dotT(xe4.reshape(m2, c), du_e)
+            + _dotT(xo4.reshape(m2, c), du_o))
+    d_e = _tshift_diff(xe4, fold)
+    d_o = _tshift_diff(xo4, fold)
+    part2 = (_dotT(d_e.reshape(m2, 2 * fold), du_e)
+             + _dotT(d_o.reshape(m2, 2 * fold), du_o))
+    corr = jnp.concatenate(
+        [part2, jnp.zeros((c - 2 * fold, f), jnp.float32)], axis=0)
+    _acc_init(dw1_ref)
+    dw1_ref[:] += part + corr
+
+    xev = xe4.reshape(t, rr, 2, wq, c)[:, :, 0].reshape(t * rr * wq, c)
+    _acc_init(dwp_ref)
+    dwp_ref[:] += _dotT(xev, dprb)
 
 
 # ---------------------------------------------------------------------------
@@ -896,3 +1196,375 @@ def _vjp_bwd_proj(n_segment, n_div, eps, res, ct):
 
 
 tsm_bottleneck_proj_train.defvjp(_vjp_fwd_proj, _vjp_bwd_proj)
+
+
+# ---------------------------------------------------------------------------
+# stride-2 projection bottleneck (layers 2-4 block0)
+# ---------------------------------------------------------------------------
+
+
+def _forward_s2(x, w1, w2, w3, wproj, g1, be1, g2, be2, g3, be3, gp, bep,
+                n_segment, n_div, eps):
+    """Training-mode fused STRIDE-2 projection bottleneck forward.
+
+    Same kernel structure as the stride-1 path; the stride-2 selections
+    reuse tsm_block_pallas's proven constructions (even rows via the
+    untiled split, even columns via one natural-layout pair merge).
+    Returns y [NT,H/2,W/2,Cout], the 8 batch stats, and the residuals."""
+    nt, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    t = n_segment
+    b = nt // t
+    dt = x.dtype
+    es = jnp.dtype(dt).itemsize
+    w1k = w1.reshape(c, -1).astype(dt)
+    f = w1k.shape[1]
+    w2k = w2.reshape(3, 3, f, f)
+    w3k = w3.reshape(f, -1).astype(dt)
+    c_out = w3k.shape[1]
+    wpk = wproj.reshape(c, c_out).astype(dt)
+    fold = c // n_div
+    wp = _pad8(w)
+    ho, wo = h // 2, w // 2
+    wq = _pad8(wo)
+    assert wq >= wp // 2, (wq, wp)
+    M = nt * h * w
+    M2 = nt * ho * wo
+    x5 = x.reshape(b, t, h, w, c)
+    interp = jax.default_backend() != "tpu"
+
+    # FK1: conv1 + shift + stride-2 projection + moments ---------------
+    bpr1 = (t * wp * es * (2 * c + 2 * f) + t * wq * es * c_out
+            + t * wp * 4 * (f + c_out))
+    rows1 = _rows_divisor_even(h, bpr1)
+    tile_x, _, _ = _specs(b, t, rows1, wp, c, h)
+    u5, pr5, m1, mp = pl.pallas_call(
+        functools.partial(_fk1, fold=fold, wt=w, proj=True, s2=True),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, h, w, f), dt),
+            jax.ShapeDtypeStruct((b, t, ho, wo, c_out), dt),
+            jax.ShapeDtypeStruct((2, f), jnp.float32),
+            jax.ShapeDtypeStruct((2, c_out), jnp.float32),
+        ),
+        grid=(b, h // rows1),
+        in_specs=[tile_x, _const((c, f)), _const((c, c_out))],
+        out_specs=(
+            pl.BlockSpec((1, t, rows1, wp, f), lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, rows1 // 2, wq, c_out),
+                         lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const((2, f)),
+            _const((2, c_out)),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=interp,
+    )(x5, w1k, wpk)
+    mu1, var1 = _finalize_stats(m1, M, eps)
+    sa1, sb1 = _bn_vectors(g1, mu1, var1, be1, eps)
+    mup, varp = _finalize_stats(mp, M2, eps)
+    sap, sbp = _bn_vectors(gp, mup, varp, bep, eps)
+
+    # FK2: bn1 apply + relu + 3x3/s2 conv + moments --------------------
+    bpr2 = (2 * t * wp * es * (2 * f + 2 * f) + t * wq * es * 5 * f
+            + t * wq * 4 * f)
+    ro2 = _rows_divisor(ho, bpr2)
+    z5, m2 = pl.pallas_call(
+        functools.partial(_fk2_s2, wt=w),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, ho, wo, f), dt),
+            jax.ShapeDtypeStruct((2, f), jnp.float32),
+        ),
+        grid=(b, ho // ro2),
+        in_specs=[
+            pl.BlockSpec((1, t, 2 * ro2, wp, f),
+                         lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1, wp, f),
+                         lambda i, j: (i, 0,
+                                       jnp.maximum(j * 2 * ro2 - 1, 0),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),
+            _const((1, f)), _const((1, f)), _const((3, 3 * f, f)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, t, ro2, wq, f), lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const((2, f)),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=interp,
+    )(u5, u5, _vec(sa1, f), _vec(sb1, f), _pack_w2(w2k, dt))
+    mu2, var2 = _finalize_stats(m2, M2, eps)
+    sa2, sb2 = _bn_vectors(g2, mu2, var2, be2, eps)
+
+    # FK3 (half-res, shared kernel) ------------------------------------
+    bpr3 = t * wq * es * (2 * f + 2 * c_out) + t * wq * 4 * c_out
+    rows3 = _rows_divisor(ho, bpr3)
+    tile_z, _, _ = _specs(b, t, rows3, wq, f, ho)
+    p5, m3 = pl.pallas_call(
+        functools.partial(_fk3, wt=wo),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, ho, wo, c_out), dt),
+            jax.ShapeDtypeStruct((2, c_out), jnp.float32),
+        ),
+        grid=(b, ho // rows3),
+        in_specs=[tile_z, _const((1, f)), _const((1, f)),
+                  _const((f, c_out))],
+        out_specs=(
+            pl.BlockSpec((1, t, rows3, wq, c_out),
+                         lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const((2, c_out)),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=interp,
+    )(z5, _vec(sa2, f), _vec(sb2, f), w3k)
+    mu3, var3 = _finalize_stats(m3, M2, eps)
+    sa3, sb3 = _bn_vectors(g3, mu3, var3, be3, eps)
+
+    u = u5.reshape(nt, h, w, f)
+    z = z5.reshape(nt, ho, wo, f)
+    p = p5.reshape(nt, ho, wo, c_out)
+    pr = pr5.reshape(nt, ho, wo, c_out)
+    a3 = (p.astype(jnp.float32) * sa3 + sb3).astype(dt)
+    ap = (pr.astype(jnp.float32) * sap + sbp).astype(dt)
+    y = jnp.maximum(a3 + ap, 0.0)
+    stats = (mu1, var1, mu2, var2, mu3, var3, mup, varp)
+    return y, stats, (x, u, z, p, y, pr)
+
+
+def _backward_s2(n_segment, n_div, eps, res, dy):
+    (x, u, z, p, y, pr, stats, w1o, w2o, w3o, wpo,
+     g1, be1, g2, be2, g3, be3, gp, bep) = res
+    mu1, var1, mu2, var2, mu3, var3, mup, varp = stats
+    nt, h, w, c = x.shape
+    t = n_segment
+    b = nt // t
+    dt = x.dtype
+    es = jnp.dtype(dt).itemsize
+    w1 = w1o.reshape(c, -1).astype(dt)
+    f = w1.shape[1]
+    w2 = w2o.reshape(3, 3, f, f)
+    w3 = w3o.reshape(f, -1).astype(dt)
+    c_out = w3.shape[1]
+    wpk = wpo.reshape(c, c_out).astype(dt)
+    fold = c // n_div
+    wp = _pad8(w)
+    ho, wo = h // 2, w // 2
+    wq = _pad8(wo)
+    M = nt * h * w
+    M2 = nt * ho * wo
+    interp = jax.default_backend() != "tpu"
+
+    # XLA: relu mask + BN3/BNp backward moments (half-res, fused)
+    dq = jnp.where(y > 0, dy, 0).astype(dt)
+    dqf = dq.astype(jnp.float32)
+    s0_3 = jnp.sum(dqf, axis=(0, 1, 2))
+    s1_3 = jnp.sum(dqf * (p.astype(jnp.float32) - mu3), axis=(0, 1, 2))
+    a3, e3, f3, dg3, dbe3 = _bn_bwd_vectors(g3, mu3, var3, s0_3, s1_3,
+                                            M2, eps)
+    s1_p = jnp.sum(dqf * (pr.astype(jnp.float32) - mup), axis=(0, 1, 2))
+    ap_, ep_, fp_, dgp, dbep = _bn_bwd_vectors(gp, mup, varp, s0_3, s1_p,
+                                               M2, eps)
+    sa1, sb1 = _bn_vectors(g1, mu1, var1, be1, eps)
+    sa2, sb2 = _bn_vectors(g2, mu2, var2, be2, eps)
+
+    dq5 = dq.reshape(b, t, ho, wo, c_out)
+    p5 = p.reshape(b, t, ho, wo, c_out)
+    z5 = z.reshape(b, t, ho, wo, f)
+    u5 = u.reshape(b, t, h, w, f)
+    x5 = x.reshape(b, t, h, w, c)
+
+    # BK3 (half-res, shared kernel) ------------------------------------
+    bpr = t * wq * es * (2 * c_out * 2 + 2 * f * 2) + t * wq * 4 * c_out
+    rows = _rows_divisor(ho, bpr)
+    tile_q, _, _ = _specs(b, t, rows, wq, c_out, ho)
+    tile_zf, _, _ = _specs(b, t, rows, wq, f, ho)
+    da2_5, dw3, mda2 = pl.pallas_call(
+        functools.partial(_bk3, wt=wo),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, ho, wo, f), dt),
+            jax.ShapeDtypeStruct((f, c_out), jnp.float32),
+            jax.ShapeDtypeStruct((2, f), jnp.float32),
+        ),
+        grid=(b, ho // rows),
+        in_specs=[tile_q, tile_q, tile_zf,
+                  _const((1, c_out)), _const((1, c_out)),
+                  _const((1, c_out)),
+                  _const((1, f)), _const((1, f)), _const((1, f)),
+                  _const((c_out, f))],
+        out_specs=(
+            pl.BlockSpec((1, t, rows, wq, f), lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const((f, c_out)),
+            _const((2, f)),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=interp,
+    )(dq5, p5, z5, _vec(a3, c_out), _vec(e3, c_out), _vec(f3, c_out),
+      _vec(sa2, f), _vec(sb2, f), _vec(mu2, f),
+      w3.reshape(f, c_out).T.astype(dt))
+    s0_2, s1_2 = mda2[0], mda2[1]
+    a2, e2, f2v, dg2, dbe2 = _bn_bwd_vectors(g2, mu2, var2, s0_2, s1_2,
+                                             M2, eps)
+
+    # BK2 (stride-2 transpose; planar full-res output) ------------------
+    bpr = (t * wq * (es * (4 * f + 10 * f) + 4 * 16 * f)
+           + 2 * t * wp * es * 3 * f)
+    rob = _rows_divisor(ho, bpr)
+    tile_h, _, _ = _specs(b, t, rob, wq, f, ho)
+    bot_h = pl.BlockSpec((1, t, 1, wq, f),
+                         lambda i, j: (i, 0,
+                                       jnp.minimum(j * rob + rob, ho - 1),
+                                       0, 0),
+                         memory_space=pltpu.VMEM)
+    w2c = jnp.concatenate(
+        [w2[:, 1].transpose(0, 2, 1), w2[:, 2].transpose(0, 2, 1)],
+        axis=2).astype(dt)  # [3, F, 2F]
+    w2l = w2[:, 0].transpose(0, 2, 1).astype(dt)  # [3, F, F]
+    mu1d = jnp.concatenate([jnp.asarray(mu1, jnp.float32)] * 2)
+    da1p_5, dw2p, mda1 = pl.pallas_call(
+        functools.partial(_bk2_s2, wt=w),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, h, wo, 2 * f), dt),
+            jax.ShapeDtypeStruct((3, 3 * f, f), jnp.float32),
+            jax.ShapeDtypeStruct((2, 2 * f), jnp.float32),
+        ),
+        grid=(b, ho // rob),
+        in_specs=[
+            tile_h, bot_h, tile_h, bot_h,
+            pl.BlockSpec((1, t, 2 * rob, wp, f),
+                         lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1, wp, f),
+                         lambda i, j: (i, 0,
+                                       jnp.maximum(j * 2 * rob - 1, 0),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),
+            _const((1, f)), _const((1, f)), _const((1, f)),
+            _const((1, f)), _const((1, f)), _const((1, 2 * f)),
+            _const((3, f, 2 * f)), _const((3, f, f)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, t, 2 * rob, wq, 2 * f),
+                         lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const((3, 3 * f, f)),
+            _const((2, 2 * f)),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=interp,
+    )(da2_5, da2_5, z5, z5, u5, u5,
+      _vec(a2, f), _vec(e2, f), _vec(f2v, f), _vec(sa1, f), _vec(sb1, f),
+      mu1d.reshape(1, 2 * f), w2c, w2l)
+    s0_1 = mda1[0, :f] + mda1[0, f:]
+    s1_1 = mda1[1, :f] + mda1[1, f:]
+    a1, e1, f1v, dg1, dbe1 = _bn_bwd_vectors(g1, mu1, var1, s0_1, s1_1,
+                                             M, eps)
+
+    # BK1 (planar; projection residual grads ride along) ----------------
+    dpr = (dqf * ap_ + pr.astype(jnp.float32) * ep_ + fp_).astype(dt)
+    dpr5 = dpr.reshape(b, t, ho, wo, c_out)
+    bpr = (t * wq * es * (2 * f * 2 + 2 * c * 3 + c_out)
+           + t * wq * 4 * (2 * f + 2 * c) + t * wp * es * (f + c))
+    rowsb = _rows_divisor_even(h, bpr)
+    dup2 = lambda v: jnp.concatenate(
+        [jnp.asarray(v, jnp.float32)] * 2).reshape(1, 2 * f)
+    dxp_5, dw1, dwp = pl.pallas_call(
+        functools.partial(_bk1_s2, fold=fold, wt=w),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, h, wo, 2 * c), dt),
+            jax.ShapeDtypeStruct((c, f), jnp.float32),
+            jax.ShapeDtypeStruct((c, c_out), jnp.float32),
+        ),
+        grid=(b, h // rowsb),
+        in_specs=[
+            pl.BlockSpec((1, t, rowsb, wq, 2 * f),
+                         lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, rowsb, wp, f),
+                         lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, rowsb, wp, c),
+                         lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, rowsb // 2, wq, c_out),
+                         lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const((1, 2 * f)), _const((1, 2 * f)), _const((1, 2 * f)),
+            _const((f, c)), _const((c_out, c)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, t, rowsb, wq, 2 * c),
+                         lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const((c, f)),
+            _const((c, c_out)),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=interp,
+    )(da1p_5, u5, x5, dpr5, dup2(a1), dup2(e1), dup2(f1v),
+      w1.reshape(c, f).T.astype(dt), wpk.T)
+
+    # the ONE interleave the planar pipeline defers to XLA: lanes
+    # [0,C)=even columns, [C,2C)=odd -> [NT,H,W,C]
+    dx = dxp_5.reshape(nt, h, wo, 2, c).reshape(nt, h, w, c)
+    dw1 = dw1.reshape(w1o.shape).astype(w1o.dtype)
+    dw2 = dw2p.reshape(w2o.shape).astype(w2o.dtype)
+    dw3 = dw3.reshape(w3o.shape).astype(w3o.dtype)
+    as_p = lambda dg, g: dg.astype(g.dtype)
+    return (dx, dw1, dw2, dw3,
+            dwp.reshape(wpo.shape).astype(wpo.dtype),
+            as_p(dg1, g1), as_p(dbe1, be1), as_p(dg2, g2),
+            as_p(dbe2, be2), as_p(dg3, g3), as_p(dbe3, be3),
+            as_p(dgp, gp), as_p(dbep, bep))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15))
+def tsm_bottleneck_s2_train(x, w1, w2, w3, wp, g1, be1, g2, be2, g3,
+                            be3, gp, bep, n_segment: int, n_div: int = 8,
+                            eps: float = 1e-5):
+    """Training-mode fused STRIDE-2 projection bottleneck (ResNet50
+    layers 2-4 block0, v1.5: stride on the 3x3): x [NT,H,W,C] ->
+    (y [NT,H/2,W/2,Cout], (mu1,var1,mu2,var2,mu3,var3,mup,varp)).
+
+    Forward: the conv1 kernel also emits the stride-2 1x1 projection
+    (x read from HBM once for both); a stride-2 FK2 takes the pair-merge
+    column construction from the inference kernel; FK3 runs the shared
+    half-res kernel. Backward: the conv2/s2 transpose emits the full-res
+    da1 (and BK1 the dx) in the PLANAR even/odd-column form — the zero-
+    interleave a strided scatter would need is Mosaic-illegal — and ONE
+    XLA reshape restores the column order. Completes the fused training
+    trunk: with the stride-1 kernels, all 16 bottlenecks train fused.
+
+    BN1 statistics are full-resolution (M=NT*H*W); bn2/bn3/proj use the
+    half-res count, exactly like the standard flax path. Reference
+    semantics: torch Bottleneck w/ downsample under DDP training
+    (train_video_segment_ddp.py); numerics vs jax.grad of the XLA stack
+    in tests/test_tsm_block_train_pallas.py."""
+    y, stats, _ = _forward_s2(x, w1, w2, w3, wp, g1, be1, g2, be2, g3,
+                              be3, gp, bep, n_segment, n_div, eps)
+    return y, stats
+
+
+def _vjp_fwd_s2(x, w1, w2, w3, wp, g1, be1, g2, be2, g3, be3, gp, bep,
+                n_segment, n_div, eps):
+    y, stats, (x_, u, z, p, y_, pr) = _forward_s2(
+        x, w1, w2, w3, wp, g1, be1, g2, be2, g3, be3, gp, bep,
+        n_segment, n_div, eps)
+    res = (x, u, z, p, y, pr,
+           tuple(jax.lax.stop_gradient(s) for s in stats),
+           w1, w2, w3, wp, g1, be1, g2, be2, g3, be3, gp, bep)
+    return (y, stats), res
+
+
+def _vjp_bwd_s2(n_segment, n_div, eps, res, ct):
+    dy, _dstats = ct
+    (dx, dw1, dw2, dw3, dwp, dg1, dbe1, dg2, dbe2, dg3, dbe3, dgp,
+     dbep) = _backward_s2(n_segment, n_div, eps, res, dy)
+    return (dx, dw1, dw2, dw3, dwp, dg1, dbe1, dg2, dbe2, dg3, dbe3,
+            dgp, dbep)
+
+
+tsm_bottleneck_s2_train.defvjp(_vjp_fwd_s2, _vjp_bwd_s2)
