@@ -37,8 +37,11 @@ def main():
     # kernels everywhere, fused stem); frames arrive as RAW uint8 in 4x4
     # space-to-depth order — the order the host decoder emits for free —
     # and the stem kernel normalizes in VMEM (PERF.md round 2)
-    model = ResNet(depth=50, n_segment=T, dtype=jnp.bfloat16,
-                   stem_input="s2d")
+    def build(chain):
+        return ResNet(depth=50, n_segment=T, dtype=jnp.bfloat16,
+                      stem_input="s2d", chain_blocks=chain)
+
+    model = build(chain=True)
     rng = np.random.default_rng(0)
     n4 = HW // 4
     u8 = rng.integers(0, 256, size=(2, B * T, HW, HW, 3), dtype=np.uint8)
@@ -47,21 +50,42 @@ def main():
            .reshape(2, B * T, n4, n4, 48))
     stack = jnp.asarray(s2d)
 
-    variables = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0), stack[0], train=False)
-    )()
+    def make_run(model):
+        @jax.jit
+        def run(v, stack):
+            def body(k, acc):
+                x = jax.lax.dynamic_index_in_dim(stack, k % 2, 0,
+                                                 keepdims=False)
+                out = model.apply(v, x, train=False)
+                # data-dependent accumulation so no iteration can be
+                # elided
+                return acc + jnp.sum(out) * (1.0 + 1e-6 * k)
+            return jax.lax.fori_loop(0, ITERS, body, 0.0)
+        return run
 
-    @jax.jit
-    def run(v, stack):
-        def body(k, acc):
-            x = jax.lax.dynamic_index_in_dim(stack, k % 2, 0,
-                                             keepdims=False)
-            out = model.apply(v, x, train=False)
-            # data-dependent accumulation so no iteration can be elided
-            return acc + jnp.sum(out) * (1.0 + 1e-6 * k)
-        return jax.lax.fori_loop(0, ITERS, body, 0.0)
+    def init_and_warm(model):
+        # param tree is chain-agnostic (_FusedBlockParams shares the
+        # per-block variable paths), but init ALSO runs the forward, so
+        # both steps sit behind the compile guard
+        v = jax.jit(
+            lambda: model.init(jax.random.PRNGKey(0), stack[0],
+                               train=False)
+        )()
+        run = make_run(model)
+        float(run(v, stack))  # compile + warm (fetch forces execution)
+        return v, run
 
-    float(run(variables, stack))  # compile + warm (fetch forces execution)
+    try:
+        variables, run = init_and_warm(model)
+    except Exception as e:  # chain-kernel compile guard: fall back to the
+        # measured single-block configuration rather than losing the
+        # benchmark to a Mosaic rejection of the (newer) chain kernels
+        import sys
+
+        print(f"# chain_blocks=True failed ({type(e).__name__}); "
+              "falling back to single-block kernels", file=sys.stderr)
+        model = build(chain=False)
+        variables, run = init_and_warm(model)
 
     t0 = time.perf_counter()
     _ = float(run(variables, stack))

@@ -255,10 +255,17 @@ def test_resnet_fusedtrain_matches_tap3(monkeypatch):
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32)
     cot = jnp.asarray(rng.standard_normal((8, 2048)), jnp.float32)
+    # fuse_stem_pool=False pins BOTH stacks to the standard stem so this
+    # test isolates the BLOCK kernels: with the fused training stem on
+    # one side only, its ~1e-7 conv rounding difference can flip a
+    # near-tied max-pool branch and produce a discrete single-element
+    # gradient difference (observed: 1/512 at 2x the noise floor). Stem
+    # parity has its own tests (test_stem_train_pallas.py, incl. a
+    # ResNet integration case).
     m_ref = rn.ResNet(stage_sizes=(2, 2, 1, 1), n_segment=4,
-                      tsm_impl="tap3")
+                      tsm_impl="tap3", fuse_stem_pool=False)
     m = rn.ResNet(stage_sizes=(2, 2, 1, 1), n_segment=4,
-                  tsm_impl="fusedtrain")
+                  tsm_impl="fusedtrain", fuse_stem_pool=False)
     v = jax.jit(lambda: m_ref.init(jax.random.PRNGKey(0), x, train=True))()
 
     def run(model, params):

@@ -445,7 +445,21 @@ class ResNet(nn.Module):
                 and y.shape[1] == y.shape[2]
                 and (s2d or (y.shape[-1] == 3 and y.shape[1] % 4 == 0))
             )
-            if s2d and not fuse_stem:
+            # training-mode fused stem (batch-stat BN accumulated in the
+            # conv kernel + hand-written VJP, ops/stem_train_pallas.py):
+            # pairs with tsm_impl="fusedtrain" so the whole vision trunk
+            # trains on pallas with no XLA-conv layout boundary
+            wants_ft = (self.tsm_impl == "fusedtrain"
+                        or (not isinstance(self.tsm_impl, str)
+                            and "fusedtrain" in tuple(self.tsm_impl)))
+            fuse_stem_train = (
+                self.fuse_stem_pool and not use_ra and wants_ft
+                and (jax.default_backend() == "tpu"
+                     or FORCE_WHOLE_BLOCKS)
+                and y.shape[1] == y.shape[2]
+                and (s2d or (y.shape[-1] == 3 and y.shape[1] % 4 == 0))
+            )
+            if s2d and not fuse_stem and not fuse_stem_train:
                 # fallback (training / off-TPU): undo the space-to-depth
                 # and normalize, then run the standard stem
                 from ..ops.preprocess import _affine_consts
@@ -457,7 +471,24 @@ class ResNet(nn.Module):
                 if y.dtype == jnp.uint8:
                     a3, b3 = _affine_consts(jnp.float32)
                     y = (y.astype(jnp.float32) * a3 + b3).astype(self.dtype)
-            if fuse_stem and s2d:
+            if fuse_stem_train:
+                from ..ops.stem_train_pallas import (
+                    stem_frames_train,
+                    stem_s2d_train,
+                )
+
+                w7 = _ConvKernel((7, 7, 3, 64),
+                                 name="conv_init")().astype(self.dtype)
+                scale, bias, mean_v, var_v = _BNParams(
+                    64, mutable=True, name="bn_init")()
+                stem_fn = stem_s2d_train if s2d else stem_frames_train
+                y, (mu, var) = stem_fn(y, w7, scale, bias, 1e-5,
+                                       self.dtype)
+                if not self.is_initializing():
+                    mom = 0.9
+                    mean_v.value = mom * mean_v.value + (1 - mom) * mu
+                    var_v.value = mom * var_v.value + (1 - mom) * var
+            elif fuse_stem and s2d:
                 from ..ops.stem_pallas import stem_s2d_pallas
 
                 w7 = _ConvKernel((7, 7, 3, 64),

@@ -121,6 +121,18 @@ def _stem_weight_im2col(w7, dtype):
     dr' in 0..6 (SAME pad 3); the patch provides rows 4(I-1+tap_r)+di, so
     dr' = 4*tap_r + di - 2*pr - 1 (valid iff 0 <= dr' <= 6); same for
     columns. Invalid combinations are zero."""
+    sel = _phase_selection()
+    w = w7.reshape(147, 64).astype(dtype)
+    out = jnp.einsum("prd,df->rpf", jnp.asarray(sel, dtype), w)
+    return out.reshape(432, 256)
+
+
+def _phase_selection():
+    """The constant 0/1 selection tensor sel[ph, rk, dd] mapping row
+    dd = (dr*7+dc)*3+c of the flattened [147, 64] stem kernel to patch
+    row rk under output phase ph (see _stem_weight_im2col). Shared by
+    the forward weight build and the training-mode weight-gradient
+    un-map (dw7 = einsum('prd,rpf->df', sel, dw2))."""
     import numpy as np
 
     tr, tc, di, dj, c = np.meshgrid(
@@ -145,9 +157,44 @@ def _stem_weight_im2col(w7, dtype):
         valid = (dr >= 0) & (dr <= 6) & (dc >= 0) & (dc <= 6)
         rows = np.arange(432)[valid]
         sel[ph, rows, (dr[valid] * 7 + dc[valid]) * 3 + c_f[valid]] = 1.0
-    w = w7.reshape(147, 64).astype(dtype)
-    out = jnp.einsum("prd,df->rpf", jnp.asarray(sel, dtype), w)
-    return out.reshape(432, 256)
+    return sel
+
+
+def _normalize_u8(x, a_ref, bin_ref, dt):
+    """Raw uint8 frames: normalize on the small s2d tile in VMEM (the
+    conv's SAME padding applies AFTER normalization, so folding the
+    affine into the weights would mis-handle edges). Mosaic has no
+    direct u8->f32 cast; widen through int32."""
+    return (x.astype(jnp.int32).astype(jnp.float32) * a_ref[0]
+            + bin_ref[0]).astype(dt)
+
+
+def _build_z(x, zbuild: str):
+    """The [G,n,n,432] im2col patch tensor of the s2d tile x [G,n,n,48]
+    (lane order tap_r-major, tap_c, ch48; SAME zero padding).
+
+    zbuild — how the patch is materialized:
+    - "two": column im2col first ([.., 144]), then 3 row-shifted copies
+      concatenated (writes ~672 lanes/pixel incl. the shifted pieces);
+    - "nine": one 9-piece concat of row-sliced column-shift tensors
+      (writes ~528 lanes/pixel — skips the 144-lane intermediate)."""
+    g, n = x.shape[0], x.shape[1]
+    zr = jnp.zeros((g, 1, n, 48), x.dtype)
+    xp = jnp.concatenate([zr, x, zr], axis=1)  # [G, n+2, n, 48]
+    # column taps as shift-by-concat (keeps every operand at sublane
+    # offset 0 — Mosaic cannot concatenate lanes across offset mismatches)
+    zc1 = jnp.zeros((g, n + 2, 1, 48), x.dtype)
+    left = jnp.concatenate([zc1, xp[:, :, : n - 1]], axis=2)
+    right = jnp.concatenate([xp[:, :, 1:], zc1], axis=2)
+    if zbuild == "nine":
+        return jnp.concatenate(
+            [v[:, dr : dr + n]
+             for dr in range(3) for v in (left, xp, right)],
+            axis=-1)  # [G, n, n, 432]
+    zc = jnp.concatenate([left, xp, right], axis=-1)  # [G, n+2, n, 144]
+    return jnp.concatenate(
+        [zc[:, 0:n], zc[:, 1 : n + 1], zc[:, 2 : n + 2]],
+        axis=-1)  # [G, n, n, 432]
 
 
 def _stem_kernel(x_ref, *refs, zbuild: str = "two"):
@@ -155,14 +202,7 @@ def _stem_kernel(x_ref, *refs, zbuild: str = "two"):
     or uint8 raw with in-kernel normalize via extra a/b [1,48] refs),
     w_ref [432, 256] (phase-packed im2col weight), s/b [1, 256] (folded
     BN, tiled over the 4 phases), o_ref [G, 56, 56, 64]: 7x7/2 conv + bn
-    + relu + 3x3/2 max pool, one frame batch per grid step.
-
-    zbuild — how the [.., 432] im2col patch is materialized:
-    - "two": column im2col first ([.., 144]), then 3 row-shifted copies
-      concatenated (writes ~672 lanes/pixel incl. the shifted pieces);
-    - "nine": one 9-piece concat of row-sliced column-shift tensors
-      (writes ~528 lanes/pixel — skips the 144-lane intermediate).
-    Same lane order (tap_r-major, tap_c, ch48) either way."""
+    + relu + 3x3/2 max pool, one frame batch per grid step."""
     if len(refs) == 6:
         a_ref, bin_ref, w_ref, s_ref, b_ref, o_ref = refs
     else:
@@ -173,42 +213,30 @@ def _stem_kernel(x_ref, *refs, zbuild: str = "two"):
     dt = o_ref.dtype
     x = x_ref[:]
     if a_ref is not None:
-        # raw uint8 frames: normalize on the small s2d tile in VMEM (the
-        # conv's SAME padding applies AFTER normalization, so folding the
-        # affine into the weights would mis-handle edges). Mosaic has no
-        # direct u8->f32 cast; widen through int32.
-        x = (x.astype(jnp.int32).astype(jnp.float32) * a_ref[0]
-             + bin_ref[0]).astype(dt)
+        x = _normalize_u8(x, a_ref, bin_ref, dt)
 
-    zr = jnp.zeros((g, 1, n, 48), x.dtype)
-    xp = jnp.concatenate([zr, x, zr], axis=1)  # [G, 58, 56, 48]
-    # column taps as shift-by-concat (keeps every operand at sublane
-    # offset 0 — Mosaic cannot concatenate lanes across offset mismatches)
-    zc1 = jnp.zeros((g, n + 2, 1, 48), x.dtype)
-    left = jnp.concatenate([zc1, xp[:, :, : n - 1]], axis=2)
-    right = jnp.concatenate([xp[:, :, 1:], zc1], axis=2)
-    if zbuild == "nine":
-        z = jnp.concatenate(
-            [v[:, dr : dr + n]
-             for dr in range(3) for v in (left, xp, right)],
-            axis=-1)  # [G, 56, 56, 432]
-    else:
-        zc = jnp.concatenate([left, xp, right], axis=-1)  # [G,58,56,144]
-        z = jnp.concatenate(
-            [zc[:, 0:n], zc[:, 1 : n + 1], zc[:, 2 : n + 2]],
-            axis=-1)  # [G, 56, 56, 432]
+    z = _build_z(x, zbuild)
     acc = jnp.dot(z.reshape(g * n * n, 432), w_ref[:],
                   preferred_element_type=jnp.float32)
     y = jnp.maximum(acc * s_ref[0] + b_ref[0], 0.0).astype(dt)
     y = y.reshape(g, n, n, 256)  # phases (pr, pc) in 64-lane groups
 
-    # pool(p, q) = max over conv pixels rows 2p-1..2p+1, cols 2q-1..2q+1;
-    # in phase terms: all 4 phases of cell (p, q), row-phase-1 of
-    # (p-1, q), col-phase-1 of (p, q-1), phase (1,1) of (p-1, q-1);
-    # out-of-range cells contribute 0 (inputs are post-relu)
-    # Shift FULL 256-lane tensors (offset-0 operands — Mosaic concat cannot
-    # mix lane/sublane offsets), then slice phase groups out of the shifted
-    # copies; elementwise max across offset slices is supported.
+    o_ref[:] = _phase_maxpool(y)
+
+
+def _phase_maxpool(y):
+    """3x3/2 max pool (SAME, pad 1) of the phase-packed conv output
+    y [G, n, n, 256] -> [G, n, n, 64].
+
+    pool(p, q) = max over conv pixels rows 2p-1..2p+1, cols 2q-1..2q+1;
+    in phase terms: all 4 phases of cell (p, q), row-phase-1 of
+    (p-1, q), col-phase-1 of (p, q-1), phase (1,1) of (p-1, q-1);
+    out-of-range cells contribute 0 (inputs are post-relu).
+    Shift FULL 256-lane tensors (offset-0 operands — Mosaic concat cannot
+    mix lane/sublane offsets), then slice phase groups out of the shifted
+    copies; elementwise max across offset slices is supported."""
+    g, n = y.shape[0], y.shape[1]
+    dt = y.dtype
     zrow = jnp.zeros((g, 1, n, 256), dt)
     zcol = jnp.zeros((g, n, 1, 256), dt)
     shift_r = lambda v: jnp.concatenate([zrow, v[:, : n - 1]], axis=1)
@@ -220,8 +248,8 @@ def _stem_kernel(x_ref, *refs, zbuild: str = "two"):
                     jnp.maximum(y[..., 128:192], y[..., 192:256]))
     b_ = jnp.maximum(ysr[..., 128:192], ysr[..., 192:256])  # row phase 1
     c_ = jnp.maximum(ysc[..., 64:128], ysc[..., 192:256])   # col phase 1
-    o_ref[:] = jnp.maximum(jnp.maximum(a, b_),
-                           jnp.maximum(c_, ysrc[..., 192:256]))
+    return jnp.maximum(jnp.maximum(a, b_),
+                       jnp.maximum(c_, ysrc[..., 192:256]))
 
 
 def stem_conv_bn_pool_pallas(x, w7, scale, bias, out_dtype=None):
