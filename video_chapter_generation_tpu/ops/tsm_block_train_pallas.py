@@ -102,6 +102,9 @@ def _rows_divisor_even(h: int, bytes_per_row: int,
     tiles into even/odd planes; h is even for every stride-2 block)."""
     assert h % 2 == 0, h
     rows = _rows_divisor(h, bytes_per_row, budget)
+    if FORCE_ROWS is not None:
+        assert rows % 2 == 0, (h, rows)  # stride-2 tiles split row pairs
+        return rows
     while rows % 2:
         rows -= 1
         while h % rows:
