@@ -25,8 +25,12 @@ run profile_nochain 1200 python tools/profile_model.py --s2d --nochain
 run bench           1200 python bench.py
 
 # 3. Training: fusedtrain vs tap3 at the round-2 winner config (bf16 B=8).
+#    AOT memory analysis (tools/aot_compile.py) estimates ~14.3GB temp for
+#    fusedtrain at B=8 — near the v5e 16GB ceiling — so B=4 is queued as
+#    the OOM fallback.
 run train_tap3      1800 python bench_train.py --impl tap3 --b 8
 run train_fused     1800 python bench_train.py --impl fusedtrain --b 8
+run train_fused_b4  1800 python bench_train.py --impl fusedtrain --b 4
 run profile_train_fused 1800 python tools/profile_train.py --impl fusedtrain --dtype bf16
 
 echo "=== done; logs in $OUT ==="

@@ -130,9 +130,13 @@ def _sbk_a(dp_ref, po_ref, yc_ref, s_ref, b_ref, mu_ref, da_ref, m_ref):
     dprd, pord = lf(dpd), lf(pod)
 
     def route(yph, *wins):
+        # equality compared in f32: Mosaic/v5e has no bf16 vector compare
+        # (tools/aot_compile.py); bf16->f32 is exact so bit-identity holds
+        yphf = yph.astype(jnp.float32)
         acc = None
         for d, p in wins:
-            v = jnp.where(yph == p, d, 0.0).astype(jnp.float32)
+            v = jnp.where(yphf == p.astype(jnp.float32), d,
+                          0.0).astype(jnp.float32)
             acc = v if acc is None else acc + v
         return acc
 
@@ -147,7 +151,7 @@ def _sbk_a(dp_ref, po_ref, yc_ref, s_ref, b_ref, mu_ref, da_ref, m_ref):
         ],
         axis=-1,
     )  # f32 [G, n, n, 256]
-    da = jnp.where(y > 0, da, 0.0)
+    da = jnp.where(y.astype(jnp.float32) > 0, da, 0.0)
     da_ref[:] = da.astype(dt)
 
     ycf = yc_ref[:].astype(jnp.float32)

@@ -202,6 +202,14 @@ def _bn_apply_relu(v4, sa_ref, sb_ref, dt):
     return jnp.maximum(y, 0.0).astype(dt)
 
 
+def _gt0(x):
+    """x > 0 computed in f32: Mosaic/v5e has no bf16 vector compare
+    ("Target does not support this comparison", arith.cmpf on a packed
+    8x128x2 bf16 vector — caught by tools/aot_compile.py); the bf16->f32
+    upcast is exact so the mask is unchanged."""
+    return x.astype(jnp.float32) > 0.0
+
+
 # ---------------------------------------------------------------------------
 # forward kernels
 # ---------------------------------------------------------------------------
@@ -406,7 +414,7 @@ def _bk3(dq_ref, p_ref, z_ref, a3_ref, e3_ref, f3_ref, sa2_ref, sb2_ref,
     y2 = jnp.where(cmask, y2, 0.0).astype(dt)  # pad cols: relu(sb2) != 0
 
     dy2 = jnp.dot(dpb, w3t_ref[:], preferred_element_type=jnp.float32)
-    da2 = jnp.where(y2.reshape(m, f) > 0, dy2, 0.0).astype(dt)
+    da2 = jnp.where(_gt0(y2.reshape(m, f)), dy2, 0.0).astype(dt)
     da2_ref[0] = da2.reshape(t, r, wp, f)
 
     _acc_init(dw3_ref)
@@ -471,7 +479,7 @@ def _bk2(da2_ref, t_da2, b_da2, z_ref, t_z, b_z, u_ref, t_u, b_u,
     # data grad: SAME conv of dz with the flipped-transposed taps
     acc = _conv2_taps(_im2col_w(dze), w2b_ref, r)
     y1 = y1e[:, 1 : r + 1].reshape(m, f)
-    da1 = jnp.where(y1 > 0, acc, 0.0).astype(dt)
+    da1 = jnp.where(_gt0(y1), acc, 0.0).astype(dt)
     da1_ref[0] = da1.reshape(t, r, wp, f)
 
     # weight grad: dw2[dr] = zc(y1_ext)[:, dr:dr+R]^T @ dz_tile
@@ -558,16 +566,17 @@ def _bk2_s2(da2_ref, b_da2, z_ref, b_z, u_ref, t_u, a2_ref, e2_ref,
     y1e = jnp.concatenate([topm * y1_of(t_u[0]), y1_of(u_ref[0])], axis=1)
     # [T, 2R+1, Wp, F]; index k = full row 2jR + k - 1
     y1m = _merge_pairs(y1e[:, 1:], wq)  # the tile's own rows, planar
-    da1 = jnp.where(y1m > 0, pf, 0.0)   # f32
+    da1 = jnp.where(_gt0(y1m), pf, 0.0)   # f32
     da1_ref[0] = da1.astype(dt)
 
     # BN1 backward moments, per plane (the wrapper folds lane groups)
     um = _merge_pairs(
         jnp.where(cmask_f, u_ref[0], 0.0).astype(dt), wq)
-    s = jnp.sum(da1.reshape(-1, 2 * f), axis=0, keepdims=True)
-    s1 = jnp.sum(
-        (da1 * (um.astype(jnp.float32) - mu1d_ref[0])).reshape(-1, 2 * f),
-        axis=0, keepdims=True)
+    # sums reduce in 4-d: da1/um carry the merged (1,128) layout and a
+    # merged value must never be reshaped (tools/aot_compile.py)
+    s = jnp.sum(da1, axis=(0, 1, 2))[None]
+    s1 = jnp.sum(da1 * (um.astype(jnp.float32) - mu1d_ref[0]),
+                 axis=(0, 1, 2))[None]
     _acc_init(m_ref)
     m_ref[:] += jnp.concatenate([s, s1], axis=0)
 
@@ -575,25 +584,38 @@ def _bk2_s2(da2_ref, b_da2, z_ref, b_z, u_ref, t_u, a2_ref, e2_ref,
     # 2r+dr-1, cols 2q+dc-1 — row taps from the halo-extended planar y1,
     # column taps as plane slices (dc=0 = odd plane shifted down one
     # half-res column, zero at q=0)
-    y1me = _merge_pairs(y1e, wq)  # [T, 2R+1, Wq, 2F]
-    yem = y1me[:, : 2 * ro].reshape(t, ro, 2, wq, 2 * f)
-    rtaps = (
-        yem[:, :, 0],  # full rows 2r-1
-        yem[:, :, 1],  # rows 2r
-        (jnp.concatenate([yem[:, 1:, 0], y1me[:, 2 * ro : 2 * ro + 1]],
+    # row taps split on the NATURAL-layout y1e FIRST, then each tap
+    # pair-merges straight to 2-d (the forward _fk2_s2 pattern): a
+    # pair-merged value must never be reshaped (Mosaic "Invalid input
+    # layout" on tpu.reshape of a (1,128)-layout vector, caught by
+    # tools/aot_compile.py), so merged values are consumed by lane
+    # slices, row shifts and dots only
+    ye = y1e[:, : 2 * ro].reshape(t, ro, 2, wp, f)
+    nat_taps = (
+        ye[:, :, 0],  # full rows 2r-1
+        ye[:, :, 1],  # rows 2r
+        (jnp.concatenate([ye[:, 1:, 0], y1e[:, 2 * ro : 2 * ro + 1]],
                          axis=1)
-         if ro > 1 else y1me[:, 2 : 3]),  # rows 2r+1
+         if ro > 1 else y1e[:, 2 : 3]),  # rows 2r+1
     )
     m2 = t * ro * wq
     dzb = dze[:, :ro].reshape(m2, f)
-    zc = jnp.zeros((t, ro, 1, f), dt)
+    col0 = (jax.lax.broadcasted_iota(jnp.int32, (m2, 1), 0) % wq) == 0
+    zero_row = jnp.zeros((1, f), dt)
     _acc_init(dw2_ref)
     for dr in range(3):
-        v = rtaps[dr]
-        ev, od = v[..., :f], v[..., f:]
-        odm = jnp.concatenate([zc, od[:, :, :-1]], axis=2)
+        v4 = nat_taps[dr]
+        if 2 * wq > wp:  # pad the NATURAL width so merged half == wq
+            v4 = jnp.concatenate(
+                [v4, jnp.zeros((t, ro, 2 * wq - wp, f), dt)], axis=2)
+        vm = v4.reshape(t * ro * 2 * wq, f).reshape(m2, 2 * f)
+        ev, od = vm[:, :f], vm[:, f:]
+        # dc=0 tap: odd column of half-res col q-1 (zero at q == 0)
+        odm = jnp.where(
+            col0, 0.0,
+            jnp.concatenate([zero_row, od[:-1]], axis=0)).astype(dt)
         sel = jnp.concatenate([odm, ev, od], axis=-1)  # (L, C, R)
-        dw2_ref[dr] += _dotT(sel.reshape(m2, 3 * f), dzb)
+        dw2_ref[dr] += _dotT(sel, dzb)
 
 
 def _bk1(da1_ref, u_ref, x_ref, dq_ref, *refs, fold: int, wt: int,
@@ -682,14 +704,29 @@ def _bk1_s2(da1p_ref, u_ref, x_ref, dpr_ref, a1d_ref, e1d_ref, f1d_ref,
     cmask_f = _col_lt(wp, wt)
     hmask = _col_lt(wq, wt // 2)
 
-    um = _merge_pairs(jnp.where(cmask_f, u_ref[0], 0.0).astype(dt), wq)
-    du = (da1p_ref[0].astype(jnp.float32) * a1d_ref[0]
-          + um.astype(jnp.float32) * e1d_ref[0] + f1d_ref[0])
-    du = jnp.where(hmask, du, 0.0)
-    dub = du.astype(dt)
     m2 = t * r * wq
-    du_e = dub[..., :f].reshape(m2, f)
-    du_o = dub[..., f:].reshape(m2, f)
+
+    def merge2(v4, ch):
+        """Natural [T,R,Wp,ch] -> planar 2-d [m2, 2ch]: pad the natural
+        width to 2*wq (so the merged half-width matches the planar row
+        count), collapse to [M,ch] (legal: width % 8 == 0), then ONE
+        sublane->lane pair reshape. Merged values are consumed by lane
+        slices, row shifts and dots ONLY — never reshaped (Mosaic
+        rejects tpu.reshape of (1,128) layouts; tools/aot_compile.py)."""
+        if 2 * wq > wp:
+            v4 = jnp.concatenate(
+                [v4, jnp.zeros((t, r, 2 * wq - wp, ch), dt)], axis=2)
+        return v4.reshape(t * r * 2 * wq, ch).reshape(m2, 2 * ch)
+
+    um2 = merge2(jnp.where(cmask_f, u_ref[0], 0.0).astype(dt), f)
+    da1p2 = da1p_ref[0].reshape(m2, f2)  # natural load: reshape legal
+    du = (da1p2.astype(jnp.float32) * a1d_ref[0]
+          + um2.astype(jnp.float32) * e1d_ref[0] + f1d_ref[0])
+    qcol = jax.lax.broadcasted_iota(jnp.int32, (m2, 1), 0) % wq
+    du = jnp.where(qcol < wt // 2, du, 0.0)
+    dub = du.astype(dt)
+    du_e = dub[:, :f]
+    du_o = dub[:, f:]
 
     dx_e = jnp.dot(du_e, w1t_ref[:],
                    preferred_element_type=jnp.float32)
@@ -709,21 +746,38 @@ def _bk1_s2(da1p_ref, u_ref, x_ref, dpr_ref, a1d_ref, e1d_ref, f1d_ref,
     dx_e4 = dxe5.reshape(t, r, wq, c)
     dxp_ref[0] = jnp.concatenate([dx_e4, dx_o4], axis=-1)
 
-    xm = _merge_pairs(jnp.where(cmask_f, x_ref[0], 0.0).astype(dt), wq)
-    xe4 = xm[..., :c]
-    xo4 = xm[..., c:]
-    part = (_dotT(xe4.reshape(m2, c), du_e)
-            + _dotT(xo4.reshape(m2, c), du_o))
-    d_e = _tshift_diff(xe4, fold)
-    d_o = _tshift_diff(xo4, fold)
-    part2 = (_dotT(d_e.reshape(m2, 2 * fold), du_e)
-             + _dotT(d_o.reshape(m2, 2 * fold), du_o))
+    x4 = jnp.where(cmask_f, x_ref[0], 0.0).astype(dt)
+    xm2 = merge2(x4, c)
+    xe2 = xm2[:, :c]
+    xo2 = xm2[:, c:]
+    part = _dotT(xe2, du_e) + _dotT(xo2, du_o)
+
+    blk = r * wq  # rows per time step in the planar 2-d space
+
+    def tdiff2(xp2):
+        # _tshift_diff in the planar 2-d space: time neighbors sit one
+        # row-block away (clip edges zero)
+        s2 = xp2[:, : 2 * fold]
+        zb = jnp.zeros((blk, 2 * fold), dt)
+        nxt = jnp.concatenate([s2[blk:], zb], axis=0)
+        prv = jnp.concatenate([zb, s2[: m2 - blk]], axis=0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * fold), 1)
+        return (jnp.where(lane < fold, nxt, prv) - s2).astype(dt)
+
+    part2 = _dotT(tdiff2(xe2), du_e) + _dotT(tdiff2(xo2), du_o)
     corr = jnp.concatenate(
         [part2, jnp.zeros((c - 2 * fold, f), jnp.float32)], axis=0)
     _acc_init(dw1_ref)
     dw1_ref[:] += part + corr
 
-    xev = xe4.reshape(t, rr, 2, wq, c)[:, :, 0].reshape(t * rr * wq, c)
+    # even full-res rows of the even plane: split rows on the NATURAL
+    # x first, then pair-merge to 2-d
+    xe_rows = x4.reshape(t, rr, 2, wp, c)[:, :, 0]
+    if 2 * wq > wp:
+        xe_rows = jnp.concatenate(
+            [xe_rows, jnp.zeros((t, rr, 2 * wq - wp, c), dt)], axis=2)
+    xev = xe_rows.reshape(t * rr * 2 * wq, c).reshape(
+        t * rr * wq, 2 * c)[:, :c]
     _acc_init(dwp_ref)
     dwp_ref[:] += _dotT(xev, dprb)
 
