@@ -37,11 +37,10 @@ def main():
     # kernels everywhere, fused stem); frames arrive as RAW uint8 in 4x4
     # space-to-depth order — the order the host decoder emits for free —
     # and the stem kernel normalizes in VMEM (PERF.md round 2)
-    def build(chain):
-        return ResNet(depth=50, n_segment=T, dtype=jnp.bfloat16,
-                      stem_input="s2d", chain_blocks=chain)
-
-    model = build(chain=True)
+    # chain_blocks stays at the default False: measured slower on v5e
+    # (PERF.md round 3 — 11.3k vs 13.0k frames/s; halo recompute loses)
+    model = ResNet(depth=50, n_segment=T, dtype=jnp.bfloat16,
+                   stem_input="s2d")
     rng = np.random.default_rng(0)
     n4 = HW // 4
     u8 = rng.integers(0, 256, size=(2, B * T, HW, HW, 3), dtype=np.uint8)
@@ -75,17 +74,7 @@ def main():
         float(run(v, stack))  # compile + warm (fetch forces execution)
         return v, run
 
-    try:
-        variables, run = init_and_warm(model)
-    except Exception as e:  # chain-kernel compile guard: fall back to the
-        # measured single-block configuration rather than losing the
-        # benchmark to a Mosaic rejection of the (newer) chain kernels
-        import sys
-
-        print(f"# chain_blocks=True failed ({type(e).__name__}); "
-              "falling back to single-block kernels", file=sys.stderr)
-        model = build(chain=False)
-        variables, run = init_and_warm(model)
+    variables, run = init_and_warm(model)
 
     t0 = time.perf_counter()
     _ = float(run(variables, stack))

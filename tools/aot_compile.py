@@ -55,8 +55,15 @@ def _sds(tree, s):
     )
 
 
+_HLO_DUMP = None  # set by --hlo: write compiled optimized HLO here
+
+
 def _report(lowered, name):
     compiled = lowered.compile()
+    if _HLO_DUMP:
+        with open(_HLO_DUMP, "w") as fh:
+            fh.write(compiled.as_text())
+        print(f"HLO -> {_HLO_DUMP}")
     ma = compiled.memory_analysis()
     peak = getattr(ma, "temp_size_in_bytes", 0) + getattr(
         ma, "output_size_in_bytes", 0
@@ -189,8 +196,13 @@ def main():
     ap.add_argument("--impl", default="fusedtrain")
     ap.add_argument("--dtype", default="bf16")
     ap.add_argument("--b", type=int, default=8)
+    ap.add_argument("--hlo", default=None,
+                    help="write the compiled optimized HLO to this file "
+                         "(for identifying profiler fusions offline)")
     args = ap.parse_args()
 
+    global _HLO_DUMP
+    _HLO_DUMP = args.hlo
     s = _setup()
     if args.target == "bench":
         check_bench(s, chain=True)

@@ -92,8 +92,11 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--s2d", action="store_true",
                     help="feed raw-u8 space-to-depth frames (hot path)")
+    ap.add_argument("--chain", action="store_true",
+                    help="enable multi-block chain kernels (A/B; measured "
+                         "slower on v5e, PERF.md round 3)")
     ap.add_argument("--nochain", action="store_true",
-                    help="disable multi-block chain kernels (A/B)")
+                    help=argparse.SUPPRESS)  # legacy no-op (off is default)
     ap.add_argument("--keep", action="store_true",
                     help="keep the trace dir and print its path")
     args = ap.parse_args()

@@ -405,10 +405,13 @@ class ResNet(nn.Module):
     remat: bool = False
     # chain consecutive plain blocks of a stage into ONE flat kernel call
     # at inference (tsm_bottleneck_chain_pallas): intermediates stay
-    # VMEM-resident and the per-grid-step overhead — which dominates the
-    # deep layers, whose per-sample dots are too small to fill the MXU —
-    # is paid once per chain instead of once per block
-    chain_blocks: bool = True
+    # VMEM-resident and the per-grid-step overhead is paid once per chain
+    # instead of once per block. MEASURED SLOWER on v5e (PERF.md round 3):
+    # flat chains ~neutral (16.65 vs 16.15 ms for the plain stages), the
+    # halo-tiled layer1 pair a clear loss (10.51 vs 6.65 ms — halo
+    # recompute + the narrower row tiles it forces), so OFF by default;
+    # kept as an A/B knob (tools/profile_model.py --chain).
+    chain_blocks: bool = False
     fold_bn_inference: Optional[bool] = None
     fuse_stem_pool: bool = True  # fused stem bn+relu+maxpool at inference
     # "frames": x is [N, H, W, 3] (normalized float). "s2d": x is the 4x4
