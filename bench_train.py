@@ -53,6 +53,10 @@ def main(argv=None):
     impl = opt("--impl", None, str)   # tap3 | xla(split) | pallas
     if impl:
         overrides.append(f"model.tsm_impl={impl}")
+    if "--no-trunk" in sys.argv:  # A/B: per-block fusedtrain kernels
+        import video_chapter_generation_tpu.models.resnet as _rn
+
+        _rn.TRUNK_TRAIN = False
     dtype = opt("--dtype", None, str)  # override model.compute_dtype
     if dtype:
         overrides.append(f"model.compute_dtype={dtype}")

@@ -30,12 +30,20 @@ def main():
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--impl", default=None,
                     help="tsm_impl override (default: model 'auto')")
+    ap.add_argument("--no-trunk", action="store_true",
+                    help="A/B: per-block fusedtrain kernels instead of "
+                         "the cross-block trunk custom VJP")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import optax
+
+    if args.no_trunk:
+        import video_chapter_generation_tpu.models.resnet as _rn
+
+        _rn.TRUNK_TRAIN = False
 
     from video_chapter_generation_tpu.core.config import Config
     from video_chapter_generation_tpu.ops.preprocess import normalize_frames

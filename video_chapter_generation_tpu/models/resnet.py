@@ -41,6 +41,11 @@ AUTO_TSM_IMPL = ("fusedall", "fusedall", "fusedall", "fusedall")
 # test hook: exercise the whole-block kernels (interpret mode) off-TPU
 FORCE_WHOLE_BLOCKS = False
 
+# A/B hook: tsm_impl="fusedtrain" takes the cross-block TRUNK custom VJP
+# (ops/tsm_trunk_train_pallas.py) when eligible; False falls back to the
+# per-block fusedtrain kernels (tools/profile_train.py --no-trunk)
+TRUNK_TRAIN = True
+
 
 def _whole_fused(impl, n_segment, fuse_tsm, use_ra, stride, projection,
                  h, w) -> bool:
@@ -174,6 +179,41 @@ class _FusedBlockParams(nn.Module):
         s2, b2 = fold("bn2", f)
         s3, b3 = fold("bn3", 4 * f)
         return w1, w2, w3, s1, b1, s2, b2, s3, b3
+
+
+class _TrainBlockVars(nn.Module):
+    """Declares one bottleneck's parameters/batch_stats with the SAME
+    variable paths as Bottleneck and returns them raw for the fused
+    training trunk (ops/tsm_trunk_train_pallas.py) — the trunk consumes
+    the values; the caller writes the running-average updates through
+    the returned variable objects. Checkpoints stay interchangeable
+    with the per-block paths."""
+
+    features: int
+    projection: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, c):
+        f = self.features
+        dt = self.dtype
+        w1 = _ConvKernel((1, 1, c, f), name="conv1")().astype(dt)
+        w2 = _ConvKernel((3, 3, f, f), name="conv2")().astype(dt)
+        w3 = _ConvKernel((1, 1, f, 4 * f), name="conv3")().astype(dt)
+        bns = [_BNParams(n, mutable=True, name=nm)()
+               for nm, n in (("bn1", f), ("bn2", f), ("bn3", 4 * f))]
+        if self.projection:
+            wp = _ConvKernel((1, 1, c, 4 * f),
+                             name="proj_conv")().astype(dt)
+            bns.append(_BNParams(4 * f, mutable=True, name="proj_bn")())
+            params = (w1, w2, w3, wp,
+                      bns[0][0], bns[0][1], bns[1][0], bns[1][1],
+                      bns[2][0], bns[2][1], bns[3][0], bns[3][1])
+        else:
+            params = (w1, w2, w3,
+                      bns[0][0], bns[0][1], bns[1][0], bns[1][1],
+                      bns[2][0], bns[2][1])
+        return params, bns
 
 
 class Bottleneck(nn.Module):
@@ -527,6 +567,16 @@ class ResNet(nn.Module):
                                 padding=[(1, 1), (1, 1)])
 
         sizes = self.stage_sizes or STAGE_SIZES[self.depth]
+        if (TRUNK_TRAIN and from_stage == 0 and capture is None
+                and not use_ra
+                and self.tsm_impl == "fusedtrain" and not self.remat
+                and self.n_segment > 0 and self.fuse_tsm
+                and (jax.default_backend() == "tpu" or FORCE_WHOLE_BLOCKS)
+                and all(nb >= 2 for nb in sizes)
+                and y.shape[1] % (2 ** (len(sizes) - 1)) == 0
+                and y.shape[2] % (2 ** (len(sizes) - 1)) == 0):
+            y = self._fused_trunk_train(y, sizes)
+            return jnp.mean(y, axis=(1, 2))
         block_cls = Bottleneck
         if self.remat and not use_ra:
             # static_argnums counts the module instance as arg 0
@@ -617,6 +667,43 @@ class ResNet(nn.Module):
 
         # global average pool (torchvision avgpool + flatten)
         return jnp.mean(y, axis=(1, 2))
+
+    def _fused_trunk_train(self, y, sizes):
+        """Training fast path for tsm_impl='fusedtrain': ALL bottlenecks
+        in ONE cross-block custom VJP (ops/tsm_trunk_train_pallas.py) —
+        each block's finale fused into the next block's conv1 kernel,
+        the backward relu/BN3-moment passes into the next block's
+        conv1-backward epilogue, tensors 5-d end to end. Parameter and
+        batch_stats trees identical to the per-block paths; running
+        averages updated with nn.BatchNorm's convention."""
+        from ..ops.tsm_trunk_train_pallas import tsm_trunk_train
+
+        dt = self.dtype
+        blocks, kinds, bns_all = [], [], []
+        c = y.shape[-1]
+        for stage, num_blocks in enumerate(sizes):
+            features = 64 * (2 ** stage)
+            for block in range(num_blocks):
+                proj = block == 0
+                kinds.append("s2" if (proj and stage > 0)
+                             else "proj" if proj else "plain")
+                params, bns = _TrainBlockVars(
+                    features, proj, dt,
+                    name=f"layer{stage + 1}_block{block}")(c)
+                blocks.append(params)
+                bns_all.append(bns)
+                c = 4 * features
+        y, stats_all = tsm_trunk_train(
+            y.astype(dt), tuple(blocks), tuple(kinds),
+            self.n_segment, self.n_div, 1e-5)
+        if not self.is_initializing():
+            mom = 0.9
+            for bns, stats in zip(bns_all, stats_all):
+                for i, (_, _, mean_v, var_v) in enumerate(bns):
+                    mu, var = stats[2 * i], stats[2 * i + 1]
+                    mean_v.value = mom * mean_v.value + (1 - mom) * mu
+                    var_v.value = mom * var_v.value + (1 - mom) * var
+        return y
 
     def _chain_stage(self, impl, use_ra, y):
         """Chain strategy for a stage's plain blocks: 'flat' (whole

@@ -245,8 +245,8 @@ def _untshift(dxm4, fold: int, dt):
     return jnp.concatenate([sh, dxm4[..., 2 * fold :].astype(dt)], axis=-1)
 
 
-def _fk1(x_ref, *refs, fold: int, wt: int, proj: bool = False,
-         s2: bool = False):
+def _fk1(*refs, fold: int, wt: int, proj: bool = False,
+         s2: bool = False, prev: str = ""):
     """u = conv1(tshift(x)) + moments. x_ref [1,T,R,Wp,C] ->
     u_ref [1,T,R,Wp,F], m_ref [2,F] f32 accumulator. With proj, x feeds
     a second 1x1 (the projection residual) in the same kernel — x is
@@ -255,15 +255,63 @@ def _fk1(x_ref, *refs, fold: int, wt: int, proj: bool = False,
     1x1 (layers 2-4 block0): even rows via the untiled split, even
     columns via one natural-layout pair merge + lane slice (the proven
     tsm_block_pallas._kernel_s2 construction); pr_ref is then the
-    half-resolution [1,T,R/2,Wq,Cp] block (R even)."""
-    if proj:
-        w1_ref, wp_ref, u_ref, pr_ref, m_ref, mp_ref = refs
+    half-resolution [1,T,R/2,Wq,Cp] block (R even).
+
+    prev (trunk mode, tsm_trunk_train_pallas.py): instead of reading
+    this block's input x from HBM, COMPUTE it as the PREVIOUS block's
+    finale y = relu(bn3(p) + r) from pp_ref/rr_ref tiles — "plain"
+    takes r raw (identity residual), "proj" applies the projection BN
+    affine — and write it out (y_ref) so the backward and the residual
+    chain read the materialized input. This fuses the former XLA finale
+    into the kernel and removes the f32 convert of p that XLA
+    materialized between the finale and the backward moment reduce
+    (PERF.md round 3: ~0.85 ms per plain block at B=4)."""
+    i = 0
+    if prev:
+        pp_ref, rr_ref, sa3_ref, sb3_ref = refs[:4]
+        i = 4
+        if prev == "proj":
+            sap_ref, sbp_ref = refs[4:6]
+            i = 6
     else:
-        w1_ref, u_ref, m_ref = refs
-    t, r, wp, c = x_ref.shape[1:]
+        x_ref = refs[0]
+        i = 1
+    w1_ref = refs[i]
+    i += 1
+    if proj:
+        wp_ref = refs[i]
+        i += 1
+    if prev:
+        y_ref = refs[i]
+        i += 1
+    u_ref = refs[i]
+    i += 1
+    if proj:
+        pr_ref = refs[i]
+        i += 1
+    m_ref = refs[i]
+    i += 1
+    if proj:
+        mp_ref = refs[i]
     f = w1_ref.shape[1]
     dt = u_ref.dtype
-    x = x_ref[0]
+    if prev:
+        t, r, wp, c = pp_ref.shape[1:]
+        # previous block's finale, bit-matching the former XLA chain:
+        # bn3 affine in f32 cast to dt, residual add + relu exact in f32
+        a3 = (pp_ref[0].astype(jnp.float32) * sa3_ref[0]
+              + sb3_ref[0]).astype(dt)
+        if prev == "proj":
+            rr = (rr_ref[0].astype(jnp.float32) * sap_ref[0]
+                  + sbp_ref[0]).astype(dt)
+        else:
+            rr = rr_ref[0]
+        x = jnp.maximum(a3.astype(jnp.float32) + rr.astype(jnp.float32),
+                        0.0).astype(dt)
+        y_ref[0] = x
+    else:
+        t, r, wp, c = x_ref.shape[1:]
+        x = x_ref[0]
     m = t * r * wp
     acc = jnp.dot(x.reshape(m, c), w1_ref[:],
                   preferred_element_type=jnp.float32)
@@ -619,15 +667,31 @@ def _bk2_s2(da2_ref, b_da2, z_ref, b_z, u_ref, t_u, a2_ref, e2_ref,
 
 
 def _bk1(da1_ref, u_ref, x_ref, dq_ref, *refs, fold: int, wt: int,
-         proj: bool = False):
+         proj: bool = False, prev: str = ""):
     """du = bn1-bwd-apply(da1, u); dx = untshift(du @ w1^T) + dq (plain:
     the identity residual grad) or + (bnp-bwd-apply(dq, pr) @ wp^T)
     (projection residual); accumulate dw1 = tshift(x)^T du (= x^T du +
     pair-diff correction on the first 2*fold rows — the transpose of the
-    forward's correction dot) and, with proj, dwp = x^T dpr."""
+    forward's correction dot) and, with proj, dwp = x^T dpr.
+
+    prev (trunk mode): this block's dx IS the previous block's dy, and x
+    (this block's input) is the previous block's relu output — so the
+    epilogue applies the previous finale's relu mask (dq_prev =
+    where(x>0, dx, 0), stored in dx_ref) and accumulates the previous
+    BN3 (and projection BN) backward moment sums into mprev_ref
+    ([2|3, C] f32: sum dq, sum dq*(p_prev-mu3), [sum dq*(pr_prev-mup)]),
+    replacing the former XLA convert+reduce pass over three 4F tensors
+    (PERF.md round 3: 15 ms of the B=4 step)."""
+    assert not (proj and prev)
     if proj:
         (pr_ref, a1_ref, e1_ref, f1_ref, ap_ref, ep_ref, fp_ref,
          w1t_ref, wpt_ref, dx_ref, dw1_ref, dwp_ref) = refs
+    elif prev == "proj":
+        (pp_ref, rr_ref, a1_ref, e1_ref, f1_ref, mu3p_ref, mupp_ref,
+         w1t_ref, dx_ref, dw1_ref, mprev_ref) = refs
+    elif prev == "plain":
+        (pp_ref, a1_ref, e1_ref, f1_ref, mu3p_ref,
+         w1t_ref, dx_ref, dw1_ref, mprev_ref) = refs
     else:
         a1_ref, e1_ref, f1_ref, w1t_ref, dx_ref, dw1_ref = refs
     t, r, wp, f = da1_ref.shape[1:]
@@ -666,6 +730,27 @@ def _bk1(da1_ref, u_ref, x_ref, dq_ref, *refs, fold: int, wt: int,
         dx_ref[0] = dx4 + dres.astype(dt).reshape(t, r, wp, c)
         _acc_init(dwp_ref)
         dwp_ref[:] += _dotT(xm.reshape(m, c), dprb)
+    elif prev:
+        # trunk epilogue: relu-mask dx into the previous block's dq and
+        # accumulate its BN3/BNp backward moment sums (xm pad columns
+        # are zeroed, so the mask kills pad contributions exactly)
+        out = dx4 + dq_ref[0]
+        outf = jnp.where(_gt0(xm), out.astype(jnp.float32), 0.0)
+        dx_ref[0] = outf.astype(dt)
+        dq2 = outf.reshape(m, c)
+        ppm = jnp.where(cmask, pp_ref[0], 0.0).astype(jnp.float32)
+        rows = [
+            jnp.sum(dq2, axis=0, keepdims=True),
+            jnp.sum(dq2 * (ppm.reshape(m, c) - mu3p_ref[0]),
+                    axis=0, keepdims=True),
+        ]
+        if prev == "proj":
+            rrm = jnp.where(cmask, rr_ref[0], 0.0).astype(jnp.float32)
+            rows.append(jnp.sum(
+                dq2 * (rrm.reshape(m, c) - mupp_ref[0]),
+                axis=0, keepdims=True))
+        _acc_init(mprev_ref)
+        mprev_ref[:] += jnp.concatenate(rows, axis=0)
     else:
         dx_ref[0] = dx4 + dq_ref[0]
 
@@ -678,27 +763,40 @@ def _bk1(da1_ref, u_ref, x_ref, dq_ref, *refs, fold: int, wt: int,
     dw1_ref[:] += part + corr
 
 
-def _bk1_s2(da1p_ref, u_ref, x_ref, dpr_ref, a1d_ref, e1d_ref, f1d_ref,
-            w1t_ref, wpt_ref, dxp_ref, dw1_ref, dwp_ref, *, fold: int,
-            wt: int):
+def _bk1_s2(da1p_ref, u_ref, x_ref, dq_ref, prq_ref, *refs, fold: int,
+            wt: int, prev: str = ""):
     """Stride-2 BK1, entirely in the planar column space: du = bn1-bwd-
     apply(da1, u) per plane; dx = untshift(du @ w1^T) per plane plus the
     stride-2 projection residual grad (dpr @ wp^T at even rows of the
-    even plane); accumulate dw1 = tshift(x)^T du (both planes +
-    per-plane pair-diff corrections) and dwp = x[even rows, even
-    cols]^T dpr. Output dx stays PLANAR [1,T,R,Wq,2C]; the wrapper's
-    one XLA reshape interleaves the columns back.
+    even plane, with dpr = bnp-bwd-apply(dq, pr) computed IN-KERNEL from
+    the dq/pr tiles and the A/E/F vectors); accumulate dw1 =
+    tshift(x)^T du (both planes + per-plane pair-diff corrections) and
+    dwp = x[even rows, even cols]^T dpr. Output dx stays PLANAR
+    [1,T,R,Wq,2C]; the wrapper's one XLA reshape interleaves the columns
+    back.
 
     da1p_ref [1,T,R,Wq,2F] (planar, from _bk2_s2); u/x natural
-    [1,T,R,Wp,*] (pair-merged in-kernel, the legal direction); dpr_ref
-    [1,T,R/2,Wq,Cp] = bnp-bwd-apply(dq, pr), computed in XLA (half-res
-    elementwise). Vectors a1d/e1d/f1d are the BN1-backward A/E/F
-    duplicated over the two lane groups [1,2F]."""
+    [1,T,R,Wp,*] (pair-merged in-kernel, the legal direction); dq_ref /
+    prq_ref [1,T,R/2,Wq,Cp] half-res. Vectors a1d/e1d/f1d are the
+    BN1-backward A/E/F duplicated over the two lane groups [1,2F].
+
+    prev (trunk mode; a stage's block0 always follows a PLAIN block):
+    relu-mask dx with the previous finale (x>0, per plane) into dq_prev
+    (stored planar in dxp_ref; the wrapper's interleave restores column
+    order) and accumulate the previous BN3 backward moment sums per
+    PLANE into mprev_ref [2, 2C] (the wrapper folds the lane halves)."""
+    if prev:
+        (pp_ref, a1d_ref, e1d_ref, f1d_ref, apv_ref, epv_ref, fpv_ref,
+         mu3d_ref, w1t_ref, wpt_ref, dxp_ref, dw1_ref, dwp_ref,
+         mprev_ref) = refs
+    else:
+        (a1d_ref, e1d_ref, f1d_ref, apv_ref, epv_ref, fpv_ref,
+         w1t_ref, wpt_ref, dxp_ref, dw1_ref, dwp_ref) = refs
     t, r, wq, f2 = da1p_ref.shape[1:]
     f = f2 // 2
     wp = u_ref.shape[3]
     c = x_ref.shape[4]
-    cp = dpr_ref.shape[4]
+    cp = dq_ref.shape[4]
     rr = r // 2
     dt = dxp_ref.dtype
     cmask_f = _col_lt(wp, wt)
@@ -735,8 +833,12 @@ def _bk1_s2(da1p_ref, u_ref, x_ref, dpr_ref, a1d_ref, e1d_ref, f1d_ref,
     dx_e4 = _untshift(dx_e.astype(dt).reshape(t, r, wq, c), fold, dt)
     dx_o4 = _untshift(dx_o.astype(dt).reshape(t, r, wq, c), fold, dt)
 
-    # projection residual: dpr @ wp^T lands on even rows / even columns
-    dprm = jnp.where(hmask, dpr_ref[0].astype(jnp.float32), 0.0)
+    # projection residual: dpr = bnp-bwd-apply(dq, pr) in-kernel
+    # (formerly an XLA elementwise pass), then dpr @ wp^T lands on even
+    # rows / even columns
+    dprm = (dq_ref[0].astype(jnp.float32) * apv_ref[0]
+            + prq_ref[0].astype(jnp.float32) * epv_ref[0] + fpv_ref[0])
+    dprm = jnp.where(hmask, dprm, 0.0)
     dprb = dprm.astype(dt).reshape(t * rr * wq, cp)
     dres = jnp.dot(dprb, wpt_ref[:], preferred_element_type=jnp.float32)
     dres5 = dres.astype(dt).reshape(t, rr, 1, wq, c)
@@ -744,9 +846,26 @@ def _bk1_s2(da1p_ref, u_ref, x_ref, dpr_ref, a1d_ref, e1d_ref, f1d_ref,
     dxe5 = jnp.concatenate(
         [dxe5[:, :, :1] + dres5, dxe5[:, :, 1:]], axis=2)
     dx_e4 = dxe5.reshape(t, r, wq, c)
-    dxp_ref[0] = jnp.concatenate([dx_e4, dx_o4], axis=-1)
 
     x4 = jnp.where(cmask_f, x_ref[0], 0.0).astype(dt)
+    if prev:
+        # trunk epilogue (previous block is plain): per-plane relu mask
+        # into dq_prev + previous BN3 backward moment sums per plane
+        dxp4 = jnp.concatenate([dx_e4, dx_o4], axis=-1)
+        xm4 = _merge_pairs(x4, wq)
+        dqp = jnp.where(_gt0(xm4), dxp4.astype(jnp.float32), 0.0)
+        dxp_ref[0] = dqp.astype(dt)
+        ppm4 = _merge_pairs(
+            jnp.where(cmask_f, pp_ref[0], 0.0).astype(dt), wq)
+        # sums reduce in 4-d: dqp/ppm4 carry the merged (1,128) layout
+        # and a merged value must never be reshaped
+        s0 = jnp.sum(dqp, axis=(0, 1, 2))[None]
+        s1 = jnp.sum(dqp * (ppm4.astype(jnp.float32) - mu3d_ref[0]),
+                     axis=(0, 1, 2))[None]
+        _acc_init(mprev_ref)
+        mprev_ref[:] += jnp.concatenate([s0, s1], axis=0)
+    else:
+        dxp_ref[0] = jnp.concatenate([dx_e4, dx_o4], axis=-1)
     xm2 = merge2(x4, c)
     xe2 = xm2[:, :c]
     xo2 = xm2[:, c:]
@@ -868,13 +987,108 @@ def _pack_w2_bwd(w2, dt):
     return w2b.reshape(3, 3 * f, f).astype(dt)
 
 
+def _fk1_call(x5, prev, w1k, wpk, *, b, t, h, w, c, f, c_out, fold, dt,
+              interp, s2=False):
+    """Run FK1 (conv1 + shift [+ projection] + moments). Either x5
+    [B,T,H,W,C] is the materialized block input (prev None), or prev =
+    (mode, p5, r5, sa3, sb3, sap, sbp) and FK1 computes + writes the
+    input as the previous block's finale (trunk mode). Returns
+    (x5_materialized, u5, pr5|None, m1, mp|None)."""
+    es = jnp.dtype(dt).itemsize
+    proj = wpk is not None
+    wp = _pad8(w)
+    wq = _pad8(w // 2) if s2 else wp
+    bpr1 = t * wp * es * (2 * c + 2 * f) + t * wp * 4 * f
+    if prev is not None:
+        bpr1 += t * wp * es * 6 * c  # p_prev + r_prev in, y out
+    if proj:
+        bpr1 += t * wp * 4 * c_out
+        bpr1 += t * wq * es * c_out if s2 else t * wp * es * 2 * c_out
+    rows1 = (_rows_divisor_even if s2 else _rows_divisor)(h, bpr1)
+    tile_c, _, _ = _specs(b, t, rows1, wp, c, h)
+    u_spec = pl.BlockSpec((1, t, rows1, wp, f),
+                          lambda i, j: (i, 0, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    if prev is None:
+        pmode = ""
+        in_ops, in_specs = [x5], [tile_c]
+    else:
+        pmode, p5p, r5p, sa3p, sb3p, sapp, sbpp = prev
+        in_ops = [p5p, r5p, _vec(sa3p, c), _vec(sb3p, c)]
+        in_specs = [tile_c, tile_c, _const((1, c)), _const((1, c))]
+        if pmode == "proj":
+            in_ops += [_vec(sapp, c), _vec(sbpp, c)]
+            in_specs += [_const((1, c)), _const((1, c))]
+    in_ops.append(w1k)
+    in_specs.append(_const((c, f)))
+    if proj:
+        in_ops.append(wpk)
+        in_specs.append(_const((c, c_out)))
+    out_shapes, out_specs = [], []
+    if prev is not None:
+        out_shapes.append(jax.ShapeDtypeStruct((b, t, h, w, c), dt))
+        out_specs.append(pl.BlockSpec((1, t, rows1, wp, c),
+                                      lambda i, j: (i, 0, j, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    out_shapes.append(jax.ShapeDtypeStruct((b, t, h, w, f), dt))
+    out_specs.append(u_spec)
+    if proj:
+        if s2:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((b, t, h // 2, w // 2, c_out), dt))
+            out_specs.append(pl.BlockSpec(
+                (1, t, rows1 // 2, wq, c_out),
+                lambda i, j: (i, 0, j, 0, 0), memory_space=pltpu.VMEM))
+        else:
+            out_shapes.append(jax.ShapeDtypeStruct((b, t, h, w, c_out), dt))
+            out_specs.append(pl.BlockSpec(
+                (1, t, rows1, wp, c_out),
+                lambda i, j: (i, 0, j, 0, 0), memory_space=pltpu.VMEM))
+    out_shapes.append(jax.ShapeDtypeStruct((2, f), jnp.float32))
+    out_specs.append(_const((2, f)))
+    if proj:
+        out_shapes.append(jax.ShapeDtypeStruct((2, c_out), jnp.float32))
+        out_specs.append(_const((2, c_out)))
+    outs = pl.pallas_call(
+        functools.partial(_fk1, fold=fold, wt=w, proj=proj, s2=s2,
+                          prev=pmode),
+        out_shape=tuple(out_shapes),
+        grid=(b, h // rows1),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        compiler_params=_vmem_params(),
+        interpret=interp,
+    )(*in_ops)
+    outs = list(outs)
+    x5m = outs.pop(0) if prev is not None else x5
+    u5 = outs.pop(0)
+    pr5 = outs.pop(0) if proj else None
+    m1 = outs.pop(0)
+    mp = outs.pop(0) if proj else None
+    return x5m, u5, pr5, m1, mp
+
+
 def _forward(x, w1, w2, w3, g1, be1, g2, be2, g3, be3, n_segment, n_div,
-             eps, wproj=None, gp=None, bep=None):
-    nt, h, w, c = x.shape
-    t = n_segment
-    b = nt // t
-    dt = x.dtype
-    es = dt.itemsize if hasattr(dt, "itemsize") else jnp.dtype(dt).itemsize
+             eps, wproj=None, gp=None, bep=None, prev=None, trunk=False):
+    """Per-block contract (trunk=False): x [NT,H,W,C] -> (y, stats,
+    residuals) with the finale y = relu(bn3(p)+residual) as an XLA
+    elementwise chain. Trunk contract (tsm_trunk_train_pallas.py): x is
+    5-d [B,T,H,W,C] (or None with prev set — FK1 then materializes the
+    block input from the previous block's p/r), NO finale runs, and the
+    return is (x5, u5, z5, p5, pr5, stats)."""
+    if trunk:
+        ref5 = prev[1] if prev is not None else x
+        b, t, h, w, c = ref5.shape
+        nt = b * t
+        dt = ref5.dtype
+        x5 = x
+    else:
+        nt, h, w, c = x.shape
+        t = n_segment
+        b = nt // t
+        dt = x.dtype
+        x5 = x.reshape(b, t, h, w, c)
+    es = jnp.dtype(dt).itemsize
     w1 = w1.reshape(c, -1).astype(dt)
     f = w1.shape[1]
     w2 = w2.reshape(3, 3, f, f)
@@ -885,53 +1099,16 @@ def _forward(x, w1, w2, w3, g1, be1, g2, be2, g3, be3, n_segment, n_div,
     fold = c // n_div
     wp = _pad8(w)
     M = nt * h * w
-    x5 = x.reshape(b, t, h, w, c)
     interp = jax.default_backend() != "tpu"
 
     # FK1: conv1 + shift (+ stride-1 projection) + moments -------------
-    bpr1 = (t * wp * es * (2 * c + 2 * f + (2 * c_out if proj else 0))
-            + t * wp * 4 * (f + (c_out if proj else 0)))
-    rows1 = _rows_divisor(h, bpr1)
-    tile_x, _, _ = _specs(b, t, rows1, wp, c, h)
-    u_spec = pl.BlockSpec((1, t, rows1, wp, f),
-                          lambda i, j: (i, 0, j, 0, 0),
-                          memory_space=pltpu.VMEM)
+    wpk = wproj.reshape(c, c_out).astype(dt) if proj else None
+    x5, u5, pr5, m1, mp = _fk1_call(
+        x5, prev, w1, wpk, b=b, t=t, h=h, w=w, c=c, f=f, c_out=c_out,
+        fold=fold, dt=dt, interp=interp)
     if proj:
-        wpk = wproj.reshape(c, c_out).astype(dt)
-        pr_spec = pl.BlockSpec((1, t, rows1, wp, c_out),
-                               lambda i, j: (i, 0, j, 0, 0),
-                               memory_space=pltpu.VMEM)
-        u5, pr5, m1, mp = pl.pallas_call(
-            functools.partial(_fk1, fold=fold, wt=w, proj=True),
-            out_shape=(
-                jax.ShapeDtypeStruct((b, t, h, w, f), dt),
-                jax.ShapeDtypeStruct((b, t, h, w, c_out), dt),
-                jax.ShapeDtypeStruct((2, f), jnp.float32),
-                jax.ShapeDtypeStruct((2, c_out), jnp.float32),
-            ),
-            grid=(b, h // rows1),
-            in_specs=[tile_x, _const((c, f)), _const((c, c_out))],
-            out_specs=(u_spec, pr_spec, _const((2, f)),
-                       _const((2, c_out))),
-            compiler_params=_vmem_params(),
-            interpret=interp,
-        )(x5, w1, wpk)
         mup, varp = _finalize_stats(mp, M, eps)
         sap, sbp = _bn_vectors(gp, mup, varp, bep, eps)
-    else:
-        pr5 = None
-        u5, m1 = pl.pallas_call(
-            functools.partial(_fk1, fold=fold, wt=w),
-            out_shape=(
-                jax.ShapeDtypeStruct((b, t, h, w, f), dt),
-                jax.ShapeDtypeStruct((2, f), jnp.float32),
-            ),
-            grid=(b, h // rows1),
-            in_specs=[tile_x, _const((c, f))],
-            out_specs=(u_spec, _const((2, f))),
-            compiler_params=_vmem_params(),
-            interpret=interp,
-        )(x5, w1)
     mu1, var1 = _finalize_stats(m1, M, eps)
     sa1, sb1 = _bn_vectors(g1, mu1, var1, be1, eps)
 
@@ -984,6 +1161,11 @@ def _forward(x, w1, w2, w3, g1, be1, g2, be2, g3, be3, n_segment, n_div,
     mu3, var3 = _finalize_stats(m3, M, eps)
     sa3, sb3 = _bn_vectors(g3, mu3, var3, be3, eps)
 
+    if trunk:
+        stats = ((mu1, var1, mu2, var2, mu3, var3, mup, varp) if proj
+                 else (mu1, var1, mu2, var2, mu3, var3))
+        return x5, u5, z5, p5, pr5, stats
+
     # finale (XLA fuses the elementwise chain)
     u = u5.reshape(nt, h, w, f)
     z = z5.reshape(nt, h, w, f)
@@ -1000,15 +1182,36 @@ def _forward(x, w1, w2, w3, g1, be1, g2, be2, g3, be3, n_segment, n_div,
     return y, stats, (x, u, z, p, y, None)
 
 
-def _backward(n_segment, n_div, eps, res, dy):
+def _backward(n_segment, n_div, eps, res, dy, trunk=None):
+    """Per-block contract (trunk None): res holds 4-d residuals, dy is
+    the block-output cotangent, and the relu mask + BN3/BNp backward
+    moments run as one XLA pass; returns the per-argument grads.
+
+    Trunk contract (tsm_trunk_train_pallas.py): res holds 5-d residuals
+    (y None), dy is ignored, and trunk is a dict {dq, s0, s1, s1p, prev}
+    — dq [B,T,H,W,Cout] is the already-relu-masked cotangent with its
+    BN3 (/BNp) backward moment sums s0/s1(/s1p), both produced by the
+    NEXT block's BK1 epilogue (or the trunk driver at the top block).
+    prev is None | ("plain", p5_prev, mu3_prev) | ("proj", p5_prev,
+    pr5_prev, mu3_prev, mup_prev) and requests the BK1 epilogue for the
+    PREVIOUS block. Returns (grads, carry): grads ordered like the block
+    param tuple (dw1,dw2,dw3[,dwp],dg1,dbe1,...,dg3,dbe3[,dgp,dbep]);
+    carry = (dx5, None) when prev is None else (dq5_prev, mprev)."""
     (x, u, z, p, y, pr, stats, w1o, w2o, w3o, wpo,
      g1, be1, g2, be2, g3, be3, gp, bep) = res
     mu1, var1, mu2, var2, mu3, var3 = stats[:6]
     proj = pr is not None
-    nt, h, w, c = x.shape
-    t = n_segment
-    b = nt // t
-    dt = x.dtype
+    if trunk is not None:
+        b, t, h, w, c = x.shape
+        nt = b * t
+        dt = x.dtype
+        x5, u5, z5, p5 = x, u, z, p
+        pr5 = pr
+    else:
+        nt, h, w, c = x.shape
+        t = n_segment
+        b = nt // t
+        dt = x.dtype
     es = jnp.dtype(dt).itemsize
     w1 = w1o.reshape(c, -1).astype(dt)
     f = w1.shape[1]
@@ -1020,28 +1223,37 @@ def _backward(n_segment, n_div, eps, res, dy):
     M = nt * h * w
     interp = jax.default_backend() != "tpu"
 
-    # XLA: relu mask + BN3 (and BNp) backward moments in one fused pass;
-    # the u-moments are centered — see _bn_bwd_vectors
-    dq = jnp.where(y > 0, dy, 0).astype(dt)
-    dqf = dq.astype(jnp.float32)
-    s0_3 = jnp.sum(dqf, axis=(0, 1, 2))
-    s1_3 = jnp.sum(dqf * (p.astype(jnp.float32) - mu3), axis=(0, 1, 2))
+    if proj:
+        mup, varp = stats[6:8]
+    if trunk is not None:
+        dq5 = trunk["dq"]
+        s0_3, s1_3 = trunk["s0"], trunk["s1"]
+        if proj:
+            s1_p = trunk["s1p"]
+    else:
+        # XLA: relu mask + BN3 (and BNp) backward moments in one fused
+        # pass; the u-moments are centered — see _bn_bwd_vectors
+        dq = jnp.where(y > 0, dy, 0).astype(dt)
+        dqf = dq.astype(jnp.float32)
+        s0_3 = jnp.sum(dqf, axis=(0, 1, 2))
+        s1_3 = jnp.sum(dqf * (p.astype(jnp.float32) - mu3),
+                       axis=(0, 1, 2))
+        if proj:
+            s1_p = jnp.sum(dqf * (pr.astype(jnp.float32) - mup),
+                           axis=(0, 1, 2))
+        dq5 = dq.reshape(b, t, h, w, c_out)
+        p5 = p.reshape(b, t, h, w, c_out)
+        z5 = z.reshape(b, t, h, w, f)
+        u5 = u.reshape(b, t, h, w, f)
+        x5 = x.reshape(b, t, h, w, c)
+        pr5 = None
     a3, e3, f3, dg3, dbe3 = _bn_bwd_vectors(g3, mu3, var3, s0_3, s1_3, M,
                                             eps)
     if proj:
-        mup, varp = stats[6:8]
-        s1_p = jnp.sum(dqf * (pr.astype(jnp.float32) - mup),
-                       axis=(0, 1, 2))
         ap_, ep_, fp_, dgp, dbep = _bn_bwd_vectors(
             gp, mup, varp, s0_3, s1_p, M, eps)
     sa1, sb1 = _bn_vectors(g1, mu1, var1, be1, eps)
     sa2, sb2 = _bn_vectors(g2, mu2, var2, be2, eps)
-
-    dq5 = dq.reshape(b, t, h, w, c_out)
-    p5 = p.reshape(b, t, h, w, c_out)
-    z5 = z.reshape(b, t, h, w, f)
-    u5 = u.reshape(b, t, h, w, f)
-    x5 = x.reshape(b, t, h, w, c)
 
     # BK3 ---------------------------------------------------------------
     bpr = t * wp * es * (2 * c_out * 2 + 2 * f * 2) + t * wp * 4 * c_out
@@ -1110,9 +1322,13 @@ def _backward(n_segment, n_div, eps, res, dy):
                                              eps)
 
     # BK1 ---------------------------------------------------------------
+    tprev = trunk.get("prev") if trunk is not None else None
+    assert not (proj and tprev is not None)
     bpr = (t * wp * es * (2 * f * 2 + 2 * c * 2 + 2 * c_out
                           + (2 * c_out if proj else 0) + 4 * c)
            + t * wp * 4 * f)
+    if tprev is not None:
+        bpr += t * wp * es * 2 * c * (2 if tprev[0] == "proj" else 1)
     rows = _rows_divisor(h, bpr)
     tile_f1, _, _ = _specs(b, t, rows, wp, f, h)
     tile_c, _, _ = _specs(b, t, rows, wp, c, h)
@@ -1122,6 +1338,7 @@ def _backward(n_segment, n_div, eps, res, dy):
                            memory_space=pltpu.VMEM)
     vecs1 = [_vec(a1, f), _vec(e1, f), _vec(f1v, f)]
     w1t = w1.reshape(c, f).T.astype(dt)
+    mprev = None
     if proj:
         wpk = wpo.reshape(c, c_out).astype(dt)
         pr5 = pr.reshape(b, t, h, w, c_out)
@@ -1144,6 +1361,38 @@ def _backward(n_segment, n_div, eps, res, dy):
         )(da1_5, u5, x5, dq5, pr5, *vecs1,
           _vec(ap_, c_out), _vec(ep_, c_out), _vec(fp_, c_out),
           w1t, wpk.T)
+    elif tprev is not None:
+        # trunk: dx doubles as the PREVIOUS block's dq (relu-masked in
+        # the kernel epilogue), with its BN3(/BNp) backward moment sums
+        pmode = tprev[0]
+        in_ops = [da1_5, u5, x5, dq5, tprev[1]]
+        in_specs = [tile_f1, tile_f1, tile_c, tile_c, tile_c]
+        if pmode == "proj":
+            in_ops.append(tprev[2])
+            in_specs.append(tile_c)
+        in_ops += vecs1
+        in_specs += [_const((1, f))] * 3
+        in_ops.append(_vec(tprev[-2] if pmode == "proj" else tprev[-1], c))
+        in_specs.append(_const((1, c)))
+        if pmode == "proj":
+            in_ops.append(_vec(tprev[-1], c))
+            in_specs.append(_const((1, c)))
+        in_ops.append(w1t)
+        in_specs.append(_const((f, c)))
+        nm = 3 if pmode == "proj" else 2
+        dx5, dw1, mprev = pl.pallas_call(
+            functools.partial(_bk1, fold=fold, wt=w, prev=pmode),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t, h, w, c), dt),
+                jax.ShapeDtypeStruct((c, f), jnp.float32),
+                jax.ShapeDtypeStruct((nm, c), jnp.float32),
+            ),
+            grid=(b, h // rows),
+            in_specs=in_specs,
+            out_specs=(dx_spec, _const((c, f)), _const((nm, c))),
+            compiler_params=_vmem_params(),
+            interpret=interp,
+        )(*in_ops)
     else:
         dx5, dw1 = pl.pallas_call(
             functools.partial(_bk1, fold=fold, wt=w),
@@ -1160,13 +1409,22 @@ def _backward(n_segment, n_div, eps, res, dy):
             interpret=interp,
         )(da1_5, u5, x5, dq5, *vecs1, w1t)
 
-    dx = dx5.reshape(nt, h, w, c)
     # unpack dw2 [3,3F,F] (dr, dc-major K) -> [3,3,F,F]; cotangents must
     # match each primal's shape and dtype
     dw1 = dw1.reshape(w1o.shape).astype(w1o.dtype)
     dw2 = dw2p.reshape(w2o.shape).astype(w2o.dtype)
     dw3 = dw3.reshape(w3o.shape).astype(w3o.dtype)
     as_p = lambda dg, g: dg.astype(g.dtype)
+    if trunk is not None:
+        grads = (dw1, dw2, dw3) + (
+            (dwp.reshape(wpo.shape).astype(wpo.dtype),) if proj else ())
+        grads += (as_p(dg1, g1), as_p(dbe1, be1), as_p(dg2, g2),
+                  as_p(dbe2, be2), as_p(dg3, g3), as_p(dbe3, be3))
+        if proj:
+            grads += (as_p(dgp, gp), as_p(dbep, bep))
+        return grads, (dx5, mprev)
+
+    dx = dx5.reshape(nt, h, w, c)
     base = (dx, dw1, dw2, dw3,
             as_p(dg1, g1), as_p(dbe1, be1), as_p(dg2, g2),
             as_p(dbe2, be2), as_p(dg3, g3), as_p(dbe3, be3))
@@ -1261,18 +1519,29 @@ tsm_bottleneck_proj_train.defvjp(_vjp_fwd_proj, _vjp_bwd_proj)
 
 
 def _forward_s2(x, w1, w2, w3, wproj, g1, be1, g2, be2, g3, be3, gp, bep,
-                n_segment, n_div, eps):
+                n_segment, n_div, eps, prev=None, trunk=False):
     """Training-mode fused STRIDE-2 projection bottleneck forward.
 
     Same kernel structure as the stride-1 path; the stride-2 selections
     reuse tsm_block_pallas's proven constructions (even rows via the
     untiled split, even columns via one natural-layout pair merge).
-    Returns y [NT,H/2,W/2,Cout], the 8 batch stats, and the residuals."""
-    nt, h, w, c = x.shape
+    Returns y [NT,H/2,W/2,Cout], the 8 batch stats, and the residuals.
+    prev/trunk: see _forward — in trunk mode x/prev tensors are 5-d,
+    FK1 materializes the block input, no finale runs, and the return is
+    (x5, u5, z5, p5, pr5, stats)."""
+    if trunk:
+        ref5 = prev[1] if prev is not None else x
+        b, t, h, w, c = ref5.shape
+        nt = b * t
+        dt = ref5.dtype
+        x5 = x
+    else:
+        nt, h, w, c = x.shape
+        t = n_segment
+        b = nt // t
+        dt = x.dtype
+        x5 = x.reshape(b, t, h, w, c)
     assert h % 2 == 0 and w % 2 == 0, (h, w)
-    t = n_segment
-    b = nt // t
-    dt = x.dtype
     es = jnp.dtype(dt).itemsize
     w1k = w1.reshape(c, -1).astype(dt)
     f = w1k.shape[1]
@@ -1287,36 +1556,12 @@ def _forward_s2(x, w1, w2, w3, wproj, g1, be1, g2, be2, g3, be3, gp, bep,
     assert wq >= wp // 2, (wq, wp)
     M = nt * h * w
     M2 = nt * ho * wo
-    x5 = x.reshape(b, t, h, w, c)
     interp = jax.default_backend() != "tpu"
 
     # FK1: conv1 + shift + stride-2 projection + moments ---------------
-    bpr1 = (t * wp * es * (2 * c + 2 * f) + t * wq * es * c_out
-            + t * wp * 4 * (f + c_out))
-    rows1 = _rows_divisor_even(h, bpr1)
-    tile_x, _, _ = _specs(b, t, rows1, wp, c, h)
-    u5, pr5, m1, mp = pl.pallas_call(
-        functools.partial(_fk1, fold=fold, wt=w, proj=True, s2=True),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, t, h, w, f), dt),
-            jax.ShapeDtypeStruct((b, t, ho, wo, c_out), dt),
-            jax.ShapeDtypeStruct((2, f), jnp.float32),
-            jax.ShapeDtypeStruct((2, c_out), jnp.float32),
-        ),
-        grid=(b, h // rows1),
-        in_specs=[tile_x, _const((c, f)), _const((c, c_out))],
-        out_specs=(
-            pl.BlockSpec((1, t, rows1, wp, f), lambda i, j: (i, 0, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, rows1 // 2, wq, c_out),
-                         lambda i, j: (i, 0, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _const((2, f)),
-            _const((2, c_out)),
-        ),
-        compiler_params=_vmem_params(),
-        interpret=interp,
-    )(x5, w1k, wpk)
+    x5, u5, pr5, m1, mp = _fk1_call(
+        x5, prev, w1k, wpk, b=b, t=t, h=h, w=w, c=c, f=f, c_out=c_out,
+        fold=fold, dt=dt, interp=interp, s2=True)
     mu1, var1 = _finalize_stats(m1, M, eps)
     sa1, sb1 = _bn_vectors(g1, mu1, var1, be1, eps)
     mup, varp = _finalize_stats(mp, M2, eps)
@@ -1380,6 +1625,10 @@ def _forward_s2(x, w1, w2, w3, wproj, g1, be1, g2, be2, g3, be3, gp, bep,
     mu3, var3 = _finalize_stats(m3, M2, eps)
     sa3, sb3 = _bn_vectors(g3, mu3, var3, be3, eps)
 
+    stats = (mu1, var1, mu2, var2, mu3, var3, mup, varp)
+    if trunk:
+        return x5, u5, z5, p5, pr5, stats
+
     u = u5.reshape(nt, h, w, f)
     z = z5.reshape(nt, ho, wo, f)
     p = p5.reshape(nt, ho, wo, c_out)
@@ -1387,18 +1636,28 @@ def _forward_s2(x, w1, w2, w3, wproj, g1, be1, g2, be2, g3, be3, gp, bep,
     a3 = (p.astype(jnp.float32) * sa3 + sb3).astype(dt)
     ap = (pr.astype(jnp.float32) * sap + sbp).astype(dt)
     y = jnp.maximum(a3 + ap, 0.0)
-    stats = (mu1, var1, mu2, var2, mu3, var3, mup, varp)
     return y, stats, (x, u, z, p, y, pr)
 
 
-def _backward_s2(n_segment, n_div, eps, res, dy):
+def _backward_s2(n_segment, n_div, eps, res, dy, trunk=None):
+    """Stride-2 backward; per-block and trunk contracts as in _backward.
+    In trunk mode the carry is (dqp_5, mprev) with dqp_5 the PREVIOUS
+    block's dq in the PLANAR column form [B,T,H,W/2,2C] and mprev its
+    per-plane BN3 backward moment sums [2,2C] — the trunk driver's one
+    XLA reshape interleaves the columns and folds the lane halves."""
     (x, u, z, p, y, pr, stats, w1o, w2o, w3o, wpo,
      g1, be1, g2, be2, g3, be3, gp, bep) = res
     mu1, var1, mu2, var2, mu3, var3, mup, varp = stats
-    nt, h, w, c = x.shape
-    t = n_segment
-    b = nt // t
-    dt = x.dtype
+    if trunk is not None:
+        b, t, h, w, c = x.shape
+        nt = b * t
+        dt = x.dtype
+        x5, u5, z5, p5, pr5 = x, u, z, p, pr
+    else:
+        nt, h, w, c = x.shape
+        t = n_segment
+        b = nt // t
+        dt = x.dtype
     es = jnp.dtype(dt).itemsize
     w1 = w1o.reshape(c, -1).astype(dt)
     f = w1.shape[1]
@@ -1414,24 +1673,30 @@ def _backward_s2(n_segment, n_div, eps, res, dy):
     M2 = nt * ho * wo
     interp = jax.default_backend() != "tpu"
 
-    # XLA: relu mask + BN3/BNp backward moments (half-res, fused)
-    dq = jnp.where(y > 0, dy, 0).astype(dt)
-    dqf = dq.astype(jnp.float32)
-    s0_3 = jnp.sum(dqf, axis=(0, 1, 2))
-    s1_3 = jnp.sum(dqf * (p.astype(jnp.float32) - mu3), axis=(0, 1, 2))
+    if trunk is not None:
+        dq5 = trunk["dq"]
+        s0_3, s1_3, s1_p = trunk["s0"], trunk["s1"], trunk["s1p"]
+    else:
+        # XLA: relu mask + BN3/BNp backward moments (half-res, fused)
+        dq = jnp.where(y > 0, dy, 0).astype(dt)
+        dqf = dq.astype(jnp.float32)
+        s0_3 = jnp.sum(dqf, axis=(0, 1, 2))
+        s1_3 = jnp.sum(dqf * (p.astype(jnp.float32) - mu3),
+                       axis=(0, 1, 2))
+        s1_p = jnp.sum(dqf * (pr.astype(jnp.float32) - mup),
+                       axis=(0, 1, 2))
+        dq5 = dq.reshape(b, t, ho, wo, c_out)
+        p5 = p.reshape(b, t, ho, wo, c_out)
+        z5 = z.reshape(b, t, ho, wo, f)
+        u5 = u.reshape(b, t, h, w, f)
+        x5 = x.reshape(b, t, h, w, c)
+        pr5 = pr.reshape(b, t, ho, wo, c_out)
     a3, e3, f3, dg3, dbe3 = _bn_bwd_vectors(g3, mu3, var3, s0_3, s1_3,
                                             M2, eps)
-    s1_p = jnp.sum(dqf * (pr.astype(jnp.float32) - mup), axis=(0, 1, 2))
     ap_, ep_, fp_, dgp, dbep = _bn_bwd_vectors(gp, mup, varp, s0_3, s1_p,
                                                M2, eps)
     sa1, sb1 = _bn_vectors(g1, mu1, var1, be1, eps)
     sa2, sb2 = _bn_vectors(g2, mu2, var2, be2, eps)
-
-    dq5 = dq.reshape(b, t, ho, wo, c_out)
-    p5 = p.reshape(b, t, ho, wo, c_out)
-    z5 = z.reshape(b, t, ho, wo, f)
-    u5 = u.reshape(b, t, h, w, f)
-    x5 = x.reshape(b, t, h, w, c)
 
     # BK3 (half-res, shared kernel) ------------------------------------
     bpr = t * wq * es * (2 * c_out * 2 + 2 * f * 2) + t * wq * 4 * c_out
@@ -1520,57 +1785,87 @@ def _backward_s2(n_segment, n_div, eps, res, dy):
     a1, e1, f1v, dg1, dbe1 = _bn_bwd_vectors(g1, mu1, var1, s0_1, s1_1,
                                              M, eps)
 
-    # BK1 (planar; projection residual grads ride along) ----------------
-    dpr = (dqf * ap_ + pr.astype(jnp.float32) * ep_ + fp_).astype(dt)
-    dpr5 = dpr.reshape(b, t, ho, wo, c_out)
-    bpr = (t * wq * es * (2 * f * 2 + 2 * c * 3 + c_out)
+    # BK1 (planar; projection residual grads + in-kernel dpr) -----------
+    tprev = trunk.get("prev") if trunk is not None else None
+    bpr = (t * wq * es * (2 * f * 2 + 2 * c * 3 + 2 * c_out)
            + t * wq * 4 * (2 * f + 2 * c) + t * wp * es * (f + c))
+    if tprev is not None:
+        bpr += t * wp * es * 2 * c
     rowsb = _rows_divisor_even(h, bpr)
     dup2 = lambda v: jnp.concatenate(
         [jnp.asarray(v, jnp.float32)] * 2).reshape(1, 2 * f)
-    dxp_5, dw1, dwp = pl.pallas_call(
-        functools.partial(_bk1_s2, fold=fold, wt=w),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, t, h, wo, 2 * c), dt),
-            jax.ShapeDtypeStruct((c, f), jnp.float32),
-            jax.ShapeDtypeStruct((c, c_out), jnp.float32),
-        ),
+    tile_p2f = pl.BlockSpec((1, t, rowsb, wq, 2 * f),
+                            lambda i, j: (i, 0, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tile_ff = pl.BlockSpec((1, t, rowsb, wp, f),
+                           lambda i, j: (i, 0, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    tile_fc = pl.BlockSpec((1, t, rowsb, wp, c),
+                           lambda i, j: (i, 0, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    tile_hq = pl.BlockSpec((1, t, rowsb // 2, wq, c_out),
+                           lambda i, j: (i, 0, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dxp_spec = pl.BlockSpec((1, t, rowsb, wq, 2 * c),
+                            lambda i, j: (i, 0, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    w1t = w1.reshape(c, f).T.astype(dt)
+    in_ops = [da1p_5, u5, x5, dq5, pr5]
+    in_specs = [tile_p2f, tile_ff, tile_fc, tile_hq, tile_hq]
+    pmode = ""
+    mprev = None
+    if tprev is not None:
+        pmode = tprev[0]
+        in_ops.append(tprev[1])
+        in_specs.append(tile_fc)
+    in_ops += [dup2(a1), dup2(e1), dup2(f1v),
+               _vec(ap_, c_out), _vec(ep_, c_out), _vec(fp_, c_out)]
+    in_specs += [_const((1, 2 * f))] * 3 + [_const((1, c_out))] * 3
+    if tprev is not None:
+        mu3d = jnp.concatenate(
+            [jnp.asarray(tprev[-1], jnp.float32)] * 2).reshape(1, 2 * c)
+        in_ops.append(mu3d)
+        in_specs.append(_const((1, 2 * c)))
+    in_ops += [w1t, wpk.T]
+    in_specs += [_const((f, c)), _const((c_out, c))]
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, t, h, wo, 2 * c), dt),
+        jax.ShapeDtypeStruct((c, f), jnp.float32),
+        jax.ShapeDtypeStruct((c, c_out), jnp.float32),
+    ]
+    out_specs = [dxp_spec, _const((c, f)), _const((c, c_out))]
+    if tprev is not None:
+        out_shapes.append(jax.ShapeDtypeStruct((2, 2 * c), jnp.float32))
+        out_specs.append(_const((2, 2 * c)))
+    outs = pl.pallas_call(
+        functools.partial(_bk1_s2, fold=fold, wt=w, prev=pmode),
+        out_shape=tuple(out_shapes),
         grid=(b, h // rowsb),
-        in_specs=[
-            pl.BlockSpec((1, t, rowsb, wq, 2 * f),
-                         lambda i, j: (i, 0, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, rowsb, wp, f),
-                         lambda i, j: (i, 0, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, rowsb, wp, c),
-                         lambda i, j: (i, 0, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, rowsb // 2, wq, c_out),
-                         lambda i, j: (i, 0, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _const((1, 2 * f)), _const((1, 2 * f)), _const((1, 2 * f)),
-            _const((f, c)), _const((c_out, c)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, t, rowsb, wq, 2 * c),
-                         lambda i, j: (i, 0, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _const((c, f)),
-            _const((c, c_out)),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         compiler_params=_vmem_params(),
         interpret=interp,
-    )(da1p_5, u5, x5, dpr5, dup2(a1), dup2(e1), dup2(f1v),
-      w1.reshape(c, f).T.astype(dt), wpk.T)
+    )(*in_ops)
+    if tprev is not None:
+        dxp_5, dw1, dwp, mprev = outs
+    else:
+        dxp_5, dw1, dwp = outs
 
-    # the ONE interleave the planar pipeline defers to XLA: lanes
-    # [0,C)=even columns, [C,2C)=odd -> [NT,H,W,C]
-    dx = dxp_5.reshape(nt, h, wo, 2, c).reshape(nt, h, w, c)
     dw1 = dw1.reshape(w1o.shape).astype(w1o.dtype)
     dw2 = dw2p.reshape(w2o.shape).astype(w2o.dtype)
     dw3 = dw3.reshape(w3o.shape).astype(w3o.dtype)
     as_p = lambda dg, g: dg.astype(g.dtype)
+    if trunk is not None:
+        grads = (dw1, dw2, dw3,
+                 dwp.reshape(wpo.shape).astype(wpo.dtype),
+                 as_p(dg1, g1), as_p(dbe1, be1), as_p(dg2, g2),
+                 as_p(dbe2, be2), as_p(dg3, g3), as_p(dbe3, be3),
+                 as_p(dgp, gp), as_p(dbep, bep))
+        return grads, (dxp_5, mprev)
+
+    # the ONE interleave the planar pipeline defers to XLA: lanes
+    # [0,C)=even columns, [C,2C)=odd -> [NT,H,W,C]
+    dx = dxp_5.reshape(nt, h, wo, 2, c).reshape(nt, h, w, c)
     return (dx, dw1, dw2, dw3,
             dwp.reshape(wpo.shape).astype(wpo.dtype),
             as_p(dg1, g1), as_p(dbe1, be1), as_p(dg2, g2),
