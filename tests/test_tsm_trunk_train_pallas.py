@@ -195,6 +195,46 @@ def test_trunk_stats_do_not_backprop():
     assert float(jnp.max(jnp.abs(dx))) == 0.0
 
 
+def test_auto_training_budget_gate(monkeypatch):
+    """tsm_impl='auto' takes the trunk in training only while the saved
+    residuals fit TRUNK_TRAIN_BUDGET; above it, auto falls back to the
+    per-block tap3 path (PERF.md round 3: B=8 bf16 @224 OOMs on v5e)."""
+    import video_chapter_generation_tpu.models.resnet as rn
+
+    monkeypatch.setattr(rn, "FORCE_WHOLE_BLOCKS", True)
+    calls = []
+    orig = rn.ResNet._fused_trunk_train
+    monkeypatch.setattr(
+        rn.ResNet, "_fused_trunk_train",
+        lambda self, y, sizes: (calls.append(1), orig(self, y, sizes))[1])
+    # calibration points of the real config (B=4 fits, B=8 does not)
+    itemsize = 2
+    est = rn._trunk_residual_bytes(4 * 3 * 16, 56, 56, 64, (3, 4, 6, 3),
+                                   itemsize)
+    assert est <= rn.TRUNK_TRAIN_BUDGET
+    est8 = rn._trunk_residual_bytes(8 * 3 * 16, 56, 56, 64, (3, 4, 6, 3),
+                                    itemsize)
+    assert est8 > rn.TRUNK_TRAIN_BUDGET
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    m = rn.ResNet(stage_sizes=(2, 2, 2, 2), n_segment=4, tsm_impl="auto",
+                  fuse_stem_pool=False)
+    v = jax.jit(lambda: m.init(jax.random.PRNGKey(0), x, train=True))()
+    out, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    assert calls and out.shape == (4, 2048)
+    # above budget: same call falls back to the per-block path
+    calls.clear()
+    monkeypatch.setattr(rn, "TRUNK_TRAIN_BUDGET", 0)
+    out_fb, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    assert not calls and out_fb.shape == (4, 2048)
+    assert bool(jnp.all(jnp.isfinite(out_fb)))
+    # eval mode never takes the trunk regardless of budget
+    monkeypatch.setattr(rn, "TRUNK_TRAIN_BUDGET", 1 << 60)
+    m.apply(v, x, train=False)
+    assert not calls
+
+
 def test_resnet_trunk_matches_per_block(monkeypatch):
     """Model-level: ResNet tsm_impl='fusedtrain' now takes the TRUNK path
     (all stages >=2 blocks). Forward + running-stat updates vs the

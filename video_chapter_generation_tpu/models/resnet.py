@@ -46,6 +46,36 @@ FORCE_WHOLE_BLOCKS = False
 # per-block fusedtrain kernels (tools/profile_train.py --no-trunk)
 TRUNK_TRAIN = True
 
+# tsm_impl="auto" training dispatch: take the trunk only when its saved
+# residuals fit comfortably (measured on v5e-16G, PERF.md round 3:
+# B=4 bf16 @224 saves ~5.7GB and runs at 1,704 frames/s = 1.40x tap3;
+# B=6 saves ~8.5GB, still compiles, but HBM pressure collapses it to
+# 141 frames/s; B=8 saves ~11.4GB and OOMs outright). Above the budget
+# auto falls back to tap3, which is batch-size-insensitive (B=4/6/8
+# all ~1.2-1.3k frames/s). An explicit tsm_impl="fusedtrain" is never
+# budget-gated.
+TRUNK_TRAIN_BUDGET = 7 * 2 ** 30
+
+
+def _trunk_residual_bytes(nt, h, w, c0, sizes, itemsize):
+    """Bytes of custom-VJP residuals the training trunk saves: per block
+    (x5b, u5, z5, p5[, pr5]) at their true shapes (conv1 runs at input
+    resolution; z/p/pr at output resolution for stride-2 block0s)."""
+    total = 0
+    c = c0
+    for stage, nb in enumerate(sizes):
+        f = 64 * (2 ** stage)
+        for b in range(nb):
+            s2 = stage > 0 and b == 0
+            ho, wo = (h // 2, w // 2) if s2 else (h, w)
+            n_in, n_out = nt * h * w, nt * ho * wo
+            total += n_in * c + n_in * f + n_out * f + n_out * 4 * f
+            if b == 0:
+                total += n_out * 4 * f  # pr5
+            c = 4 * f
+            h, w = ho, wo
+    return total * itemsize
+
 
 def _whole_fused(impl, n_segment, fuse_tsm, use_ra, stride, projection,
                  h, w) -> bool:
@@ -432,10 +462,11 @@ class ResNet(nn.Module):
     n_segment: int = 0  # >0: TSM on every block ('blockres')
     n_div: int = 8
     fuse_tsm: bool = True
-    # "auto" (default) = the best measured mix per mode (PERF.md round-2
-    # sweeps): INFERENCE runs whole-block fused kernels where activations
-    # dominate (layers 1-2) and the pallas conv1 kernel elsewhere;
-    # TRAINING runs the natively-differentiable 3-tap conv everywhere.
+    # "auto" (default) = the best measured mix per mode (PERF.md rounds
+    # 2-3): INFERENCE runs the all-pallas whole-block fused kernels;
+    # TRAINING runs the cross-block fused TRUNK custom VJP when its
+    # residuals fit TRUNK_TRAIN_BUDGET (1,704 frames/s at B=4 bf16 =
+    # 1.40x tap3), else the natively-differentiable 3-tap conv.
     # Or: one impl string for all stages, or a per-stage 4-tuple.
     tsm_impl: Any = "auto"
     # rematerialize each bottleneck under grad (training only): residuals
@@ -569,7 +600,14 @@ class ResNet(nn.Module):
         sizes = self.stage_sizes or STAGE_SIZES[self.depth]
         if (TRUNK_TRAIN and from_stage == 0 and capture is None
                 and not use_ra
-                and self.tsm_impl == "fusedtrain" and not self.remat
+                and (self.tsm_impl == "fusedtrain"
+                     or (self.tsm_impl == "auto"
+                         and _trunk_residual_bytes(
+                             y.shape[0], y.shape[1], y.shape[2],
+                             y.shape[3], sizes,
+                             jnp.dtype(self.dtype).itemsize)
+                         <= TRUNK_TRAIN_BUDGET))
+                and not self.remat
                 and self.n_segment > 0 and self.fuse_tsm
                 and (jax.default_backend() == "tpu" or FORCE_WHOLE_BLOCKS)
                 and all(nb >= 2 for nb in sizes)

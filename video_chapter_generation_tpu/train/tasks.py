@@ -45,8 +45,9 @@ def _dtype(cfg: Config):
 
 
 def _vision(cfg: Config, tiny: bool, n_segment: int, dtype) -> ResNet:
-    # "auto" resolves per mode inside ResNet: tap3 for training, the
-    # fused/pallas mix for inference (PERF.md round-2 sweeps)
+    # "auto" resolves per mode inside ResNet: the fused training TRUNK
+    # (memory-budgeted, else tap3) for training, the all-pallas fused
+    # kernels for inference (PERF.md rounds 2-3)
     if tiny:
         return ResNet(stage_sizes=(1, 1, 1, 1), n_segment=n_segment,
                       tsm_impl=cfg.model.tsm_impl,
