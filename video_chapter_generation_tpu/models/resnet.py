@@ -510,6 +510,7 @@ class ResNet(nn.Module):
         outputs under 'stage{i}'.
         """
         use_ra = not train and not bn_batch_stats
+        sizes = self.stage_sizes or STAGE_SIZES[self.depth]
         y = x
         if from_stage == 0:
             s2d = self.stem_input == "s2d"
@@ -522,8 +523,27 @@ class ResNet(nn.Module):
             # training-mode fused stem (batch-stat BN accumulated in the
             # conv kernel + hand-written VJP, ops/stem_train_pallas.py):
             # pairs with tsm_impl="fusedtrain" so the whole vision trunk
-            # trains on pallas with no XLA-conv layout boundary
-            wants_ft = (self.tsm_impl == "fusedtrain"
+            # trains on pallas with no XLA-conv layout boundary.
+            # `auto` takes the trunk only under the residual budget (gate
+            # at the blocks below); the stem must take the SAME decision
+            # BEFORE the stem runs, so predict the post-stem shape
+            # (7x7/2 conv pad 3, then 3x3/2 pool pad 1; s2d inputs are
+            # already at post-stem resolution) and apply the same test.
+            if s2d:
+                hp_, wp_ = y.shape[1], y.shape[2]
+            else:
+                hc_, wc_ = ((y.shape[1] - 1) // 2 + 1,
+                            (y.shape[2] - 1) // 2 + 1)
+                hp_, wp_ = (hc_ + 1) // 2, (wc_ + 1) // 2
+            auto_trunk = (
+                TRUNK_TRAIN and self.tsm_impl == "auto"
+                and not self.remat and self.fuse_tsm
+                and self.n_segment > 0
+                and _trunk_residual_bytes(
+                    y.shape[0], hp_, wp_, 64, sizes,
+                    jnp.dtype(self.dtype).itemsize)
+                <= TRUNK_TRAIN_BUDGET)
+            wants_ft = (self.tsm_impl == "fusedtrain" or auto_trunk
                         or (not isinstance(self.tsm_impl, str)
                             and "fusedtrain" in tuple(self.tsm_impl)))
             fuse_stem_train = (
@@ -597,7 +617,6 @@ class ResNet(nn.Module):
                 y = nn.max_pool(y, (3, 3), strides=(2, 2),
                                 padding=[(1, 1), (1, 1)])
 
-        sizes = self.stage_sizes or STAGE_SIZES[self.depth]
         if (TRUNK_TRAIN and from_stage == 0 and capture is None
                 and not use_ra
                 and (self.tsm_impl == "fusedtrain"
