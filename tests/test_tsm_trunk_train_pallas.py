@@ -198,7 +198,8 @@ def test_trunk_stats_do_not_backprop():
 def test_auto_training_budget_gate(monkeypatch):
     """tsm_impl='auto' takes the trunk in training only while the saved
     residuals fit TRUNK_TRAIN_BUDGET; above it, auto falls back to the
-    per-block tap3 path (PERF.md round 3: B=8 bf16 @224 OOMs on v5e)."""
+    per-block tap3 path (PERF.md round 3: with p dropped from the saves,
+    B=8 bf16 @224 fits and runs 1,878 frames/s; B=12 OOMs on v5e)."""
     import video_chapter_generation_tpu.models.resnet as rn
 
     monkeypatch.setattr(rn, "FORCE_WHOLE_BLOCKS", True)
@@ -207,14 +208,14 @@ def test_auto_training_budget_gate(monkeypatch):
     monkeypatch.setattr(
         rn.ResNet, "_fused_trunk_train",
         lambda self, y, sizes: (calls.append(1), orig(self, y, sizes))[1])
-    # calibration points of the real config (B=4 fits, B=8 does not)
+    # calibration points of the real config (B=8 fits, B=12 does not)
     itemsize = 2
-    est = rn._trunk_residual_bytes(4 * 3 * 16, 56, 56, 64, (3, 4, 6, 3),
+    est = rn._trunk_residual_bytes(8 * 3 * 16, 56, 56, 64, (3, 4, 6, 3),
                                    itemsize)
     assert est <= rn.TRUNK_TRAIN_BUDGET
-    est8 = rn._trunk_residual_bytes(8 * 3 * 16, 56, 56, 64, (3, 4, 6, 3),
-                                    itemsize)
-    assert est8 > rn.TRUNK_TRAIN_BUDGET
+    est12 = rn._trunk_residual_bytes(12 * 3 * 16, 56, 56, 64,
+                                     (3, 4, 6, 3), itemsize)
+    assert est12 > rn.TRUNK_TRAIN_BUDGET
 
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)

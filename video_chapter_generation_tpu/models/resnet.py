@@ -47,20 +47,22 @@ FORCE_WHOLE_BLOCKS = False
 TRUNK_TRAIN = True
 
 # tsm_impl="auto" training dispatch: take the trunk only when its saved
-# residuals fit comfortably (measured on v5e-16G, PERF.md round 3:
-# B=4 bf16 @224 saves ~5.7GB and runs at 1,704 frames/s = 1.40x tap3;
-# B=6 saves ~8.5GB, still compiles, but HBM pressure collapses it to
-# 141 frames/s; B=8 saves ~11.4GB and OOMs outright). Above the budget
-# auto falls back to tap3, which is batch-size-insensitive (B=4/6/8
-# all ~1.2-1.3k frames/s). An explicit tsm_impl="fusedtrain" is never
-# budget-gated.
-TRUNK_TRAIN_BUDGET = 7 * 2 ** 30
+# residuals fit comfortably (measured on v5e-16G, PERF.md round 3: with
+# p dropped from the saves, B=4 bf16 @224 = 3.8GB -> 1,705 frames/s,
+# B=6 = 5.6GB -> 1,840, B=8 = 7.5GB -> 1,878 = 1.54x tap3; B=12 =
+# 11.3GB OOMs). Above the budget auto falls back to tap3, which is
+# batch-size-insensitive (B=4/6/8 all ~1.2-1.3k frames/s). An explicit
+# tsm_impl="fusedtrain" is never budget-gated.
+TRUNK_TRAIN_BUDGET = 8 * 2 ** 30
 
 
 def _trunk_residual_bytes(nt, h, w, c0, sizes, itemsize):
     """Bytes of custom-VJP residuals the training trunk saves: per block
-    (x5b, u5, z5, p5[, pr5]) at their true shapes (conv1 runs at input
-    resolution; z/p/pr at output resolution for stride-2 block0s)."""
+    (x5b, u5, z5[, pr5]) at their true shapes (conv1 runs at input
+    resolution; z/pr at output resolution for stride-2 block0s). p is
+    NOT saved — the backward recomputes it in-kernel from z (FK3 dot)
+    and by finale inversion (tsm_block_train_pallas _bk3/_bk1); only
+    the top block's p (7x7-scale) is kept for the XLA prologue."""
     total = 0
     c = c0
     for stage, nb in enumerate(sizes):
@@ -69,11 +71,12 @@ def _trunk_residual_bytes(nt, h, w, c0, sizes, itemsize):
             s2 = stage > 0 and b == 0
             ho, wo = (h // 2, w // 2) if s2 else (h, w)
             n_in, n_out = nt * h * w, nt * ho * wo
-            total += n_in * c + n_in * f + n_out * f + n_out * 4 * f
+            total += n_in * c + n_in * f + n_out * f
             if b == 0:
                 total += n_out * 4 * f  # pr5
             c = 4 * f
             h, w = ho, wo
+    total += nt * h * w * c  # top-block p5 (post-loop h/w/c = top out)
     return total * itemsize
 
 

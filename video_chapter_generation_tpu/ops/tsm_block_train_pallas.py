@@ -441,25 +441,35 @@ def _fk3(z_ref, sa_ref, sb_ref, w3_ref, p_ref, m_ref, *, wt: int):
 # ---------------------------------------------------------------------------
 
 
-def _bk3(dq_ref, p_ref, z_ref, a3_ref, e3_ref, f3_ref, sa2_ref, sb2_ref,
+def _bk3(dq_ref, z_ref, a3_ref, e3_ref, f3_ref, sa2_ref, sb2_ref,
          mu2_ref, w3t_ref, da2_ref, dw3_ref, m_ref, *, wt: int):
     """dp = bn3-bwd-apply(dq, p); da2 = (dp @ w3^T) * relu'(y2);
     accumulate dw3 = y2^T dp and BN2 backward moments (sum da2,
-    sum da2*(z-mu2) — centered)."""
+    sum da2*(z-mu2) — centered).
+
+    p is NOT read from HBM: it is recomputed in-kernel as y2 @ w3 from
+    the z tile that is already resident for dw3/y2 (same operands and
+    accumulation as the forward FK3 dot, so f32 runs are bit-identical;
+    bf16 runs use the pre-cast f32 value the forward rounded). This
+    removes a 4F-channel input pass per block and lets the trunk drop p
+    from its saved residuals entirely (tsm_trunk_train_pallas.py)."""
     t, r, wp, c_out = dq_ref.shape[1:]
     f = w3t_ref.shape[1]
     dt = da2_ref.dtype
     m = t * r * wp
     cmask = _col_lt(wp, wt)
 
-    dp = (dq_ref[0].astype(jnp.float32) * a3_ref[0]
-          + p_ref[0].astype(jnp.float32) * e3_ref[0] + f3_ref[0])
-    dp = jnp.where(cmask, dp, 0.0)
-    dpb = dp.astype(dt).reshape(m, c_out)
-
     zm = jnp.where(cmask, z_ref[0], 0.0).astype(dt)
     y2 = _bn_apply_relu(zm, sa2_ref, sb2_ref, dt)
     y2 = jnp.where(cmask, y2, 0.0).astype(dt)  # pad cols: relu(sb2) != 0
+
+    pf = jax.lax.dot_general(
+        y2.reshape(m, f), w3t_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [m, c_out] = y2 @ w3
+    dp = (dq_ref[0].astype(jnp.float32) * a3_ref[0]
+          + pf.reshape(t, r, wp, c_out) * e3_ref[0] + f3_ref[0])
+    dp = jnp.where(cmask, dp, 0.0)
+    dpb = dp.astype(dt).reshape(m, c_out)
 
     dy2 = jnp.dot(dpb, w3t_ref[:], preferred_element_type=jnp.float32)
     da2 = jnp.where(_gt0(y2.reshape(m, f)), dy2, 0.0).astype(dt)
@@ -681,17 +691,23 @@ def _bk1(da1_ref, u_ref, x_ref, dq_ref, *refs, fold: int, wt: int,
     BN3 (and projection BN) backward moment sums into mprev_ref
     ([2|3, C] f32: sum dq, sum dq*(p_prev-mu3), [sum dq*(pr_prev-mup)]),
     replacing the former XLA convert+reduce pass over three 4F tensors
-    (PERF.md round 3: 15 ms of the B=4 step)."""
+    (PERF.md round 3: 15 ms of the B=4 step). p_prev is NOT read: it is
+    recomputed from the previous block's z tile (an F-channel read + the
+    forward FK3 dot, replacing a 4F read), and for a projection previous
+    block pr_prev is recovered by inverting the finale (rr = y - bn3(p)
+    where y = x > 0; dq is 0 elsewhere so only those sites contribute) —
+    dropping BOTH 4F-channel residual tensors from the trunk's saves."""
     assert not (proj and prev)
     if proj:
         (pr_ref, a1_ref, e1_ref, f1_ref, ap_ref, ep_ref, fp_ref,
          w1t_ref, wpt_ref, dx_ref, dw1_ref, dwp_ref) = refs
     elif prev == "proj":
-        (pp_ref, rr_ref, a1_ref, e1_ref, f1_ref, mu3p_ref, mupp_ref,
-         w1t_ref, dx_ref, dw1_ref, mprev_ref) = refs
+        (zp_ref, a1_ref, e1_ref, f1_ref, sa2p_ref, sb2p_ref, mu3p_ref,
+         sa3p_ref, sb3p_ref, mupp_ref, w1t_ref, w3p_ref,
+         dx_ref, dw1_ref, mprev_ref) = refs
     elif prev == "plain":
-        (pp_ref, a1_ref, e1_ref, f1_ref, mu3p_ref,
-         w1t_ref, dx_ref, dw1_ref, mprev_ref) = refs
+        (zp_ref, a1_ref, e1_ref, f1_ref, sa2p_ref, sb2p_ref, mu3p_ref,
+         w1t_ref, w3p_ref, dx_ref, dw1_ref, mprev_ref) = refs
     else:
         a1_ref, e1_ref, f1_ref, w1t_ref, dx_ref, dw1_ref = refs
     t, r, wp, f = da1_ref.shape[1:]
@@ -738,17 +754,30 @@ def _bk1(da1_ref, u_ref, x_ref, dq_ref, *refs, fold: int, wt: int,
         outf = jnp.where(_gt0(xm), out.astype(jnp.float32), 0.0)
         dx_ref[0] = outf.astype(dt)
         dq2 = outf.reshape(m, c)
-        ppm = jnp.where(cmask, pp_ref[0], 0.0).astype(jnp.float32)
+        # recompute p_prev = conv3(relu(bn2(z_prev))) — the forward FK3
+        # dot on the F-channel z tile, instead of a 4F-channel p read
+        fprev = zp_ref.shape[4]
+        zpm = jnp.where(cmask, zp_ref[0], 0.0).astype(dt)
+        y2p = _bn_apply_relu(zpm, sa2p_ref, sb2p_ref, dt)
+        y2p = jnp.where(cmask, y2p, 0.0).astype(dt)
+        ppf = jnp.dot(y2p.reshape(m, fprev), w3p_ref[:],
+                      preferred_element_type=jnp.float32)  # [m, C]
         rows = [
             jnp.sum(dq2, axis=0, keepdims=True),
-            jnp.sum(dq2 * (ppm.reshape(m, c) - mu3p_ref[0]),
-                    axis=0, keepdims=True),
+            jnp.sum(dq2 * (ppf - mu3p_ref[0]), axis=0, keepdims=True),
         ]
         if prev == "proj":
-            rrm = jnp.where(cmask, rr_ref[0], 0.0).astype(jnp.float32)
+            # pr_prev by finale inversion: where y = x > 0 (the only
+            # sites with dq != 0), y = bn3(p) + bnp(pr), so
+            # rr := bnp(pr) = y - (p*sa3 + sb3). The BNp backward
+            # moment is sum dq*(pr - mup) = (1/sap)*sum dq*(rr - cpp)
+            # with cpp = bnp(mup) = sap*mup + sbp — mupp_ref carries
+            # cpp (centering preserved for f32 accuracy) and the
+            # wrapper divides this row by sap.
+            rrf = (xm.astype(jnp.float32).reshape(m, c)
+                   - (ppf * sa3p_ref[0] + sb3p_ref[0]))
             rows.append(jnp.sum(
-                dq2 * (rrm.reshape(m, c) - mupp_ref[0]),
-                axis=0, keepdims=True))
+                dq2 * (rrf - mupp_ref[0]), axis=0, keepdims=True))
         _acc_init(mprev_ref)
         mprev_ref[:] += jnp.concatenate(rows, axis=0)
     else:
@@ -786,9 +815,9 @@ def _bk1_s2(da1p_ref, u_ref, x_ref, dq_ref, prq_ref, *refs, fold: int,
     order) and accumulate the previous BN3 backward moment sums per
     PLANE into mprev_ref [2, 2C] (the wrapper folds the lane halves)."""
     if prev:
-        (pp_ref, a1d_ref, e1d_ref, f1d_ref, apv_ref, epv_ref, fpv_ref,
-         mu3d_ref, w1t_ref, wpt_ref, dxp_ref, dw1_ref, dwp_ref,
-         mprev_ref) = refs
+        (zp_ref, a1d_ref, e1d_ref, f1d_ref, apv_ref, epv_ref, fpv_ref,
+         mu3d_ref, sa2p_ref, sb2p_ref, w1t_ref, wpt_ref, w3p_ref,
+         dxp_ref, dw1_ref, dwp_ref, mprev_ref) = refs
     else:
         (a1d_ref, e1d_ref, f1d_ref, apv_ref, epv_ref, fpv_ref,
          w1t_ref, wpt_ref, dxp_ref, dw1_ref, dwp_ref) = refs
@@ -855,8 +884,16 @@ def _bk1_s2(da1p_ref, u_ref, x_ref, dq_ref, prq_ref, *refs, fold: int,
         xm4 = _merge_pairs(x4, wq)
         dqp = jnp.where(_gt0(xm4), dxp4.astype(jnp.float32), 0.0)
         dxp_ref[0] = dqp.astype(dt)
-        ppm4 = _merge_pairs(
-            jnp.where(cmask_f, pp_ref[0], 0.0).astype(dt), wq)
+        # recompute p_prev = conv3(relu(bn2(z_prev))) from the natural
+        # F-channel z tile (the forward FK3 dot — no 4F p read), then
+        # pair-merge the dt-rounded result for the per-plane sums
+        fprev = zp_ref.shape[4]
+        zpm = jnp.where(cmask_f, zp_ref[0], 0.0).astype(dt)
+        y2p = _bn_apply_relu(zpm, sa2p_ref, sb2p_ref, dt)
+        y2p = jnp.where(cmask_f, y2p, 0.0).astype(dt)
+        ppf = jnp.dot(y2p.reshape(t * r * wp, fprev), w3p_ref[:],
+                      preferred_element_type=jnp.float32)
+        ppm4 = _merge_pairs(ppf.astype(dt).reshape(t, r, wp, c), wq)
         # sums reduce in 4-d: dqp/ppm4 carry the merged (1,128) layout
         # and a merged value must never be reshaped
         s0 = jnp.sum(dqp, axis=(0, 1, 2))[None]
@@ -1205,7 +1242,7 @@ def _backward(n_segment, n_div, eps, res, dy, trunk=None):
         b, t, h, w, c = x.shape
         nt = b * t
         dt = x.dtype
-        x5, u5, z5, p5 = x, u, z, p
+        x5, u5, z5 = x, u, z
         pr5 = pr
     else:
         nt, h, w, c = x.shape
@@ -1242,7 +1279,6 @@ def _backward(n_segment, n_div, eps, res, dy, trunk=None):
             s1_p = jnp.sum(dqf * (pr.astype(jnp.float32) - mup),
                            axis=(0, 1, 2))
         dq5 = dq.reshape(b, t, h, w, c_out)
-        p5 = p.reshape(b, t, h, w, c_out)
         z5 = z.reshape(b, t, h, w, f)
         u5 = u.reshape(b, t, h, w, f)
         x5 = x.reshape(b, t, h, w, c)
@@ -1255,8 +1291,8 @@ def _backward(n_segment, n_div, eps, res, dy, trunk=None):
     sa1, sb1 = _bn_vectors(g1, mu1, var1, be1, eps)
     sa2, sb2 = _bn_vectors(g2, mu2, var2, be2, eps)
 
-    # BK3 ---------------------------------------------------------------
-    bpr = t * wp * es * (2 * c_out * 2 + 2 * f * 2) + t * wp * 4 * c_out
+    # BK3 (p recomputed in-kernel from z; no p input pass) --------------
+    bpr = t * wp * es * (2 * c_out + 2 * f * 2) + t * wp * 4 * c_out
     rows = _rows_divisor(h, bpr)
     tile_q, _, _ = _specs(b, t, rows, wp, c_out, h)
     tile_zf, _, _ = _specs(b, t, rows, wp, f, h)
@@ -1268,7 +1304,7 @@ def _backward(n_segment, n_div, eps, res, dy, trunk=None):
             jax.ShapeDtypeStruct((2, f), jnp.float32),
         ),
         grid=(b, h // rows),
-        in_specs=[tile_q, tile_q, tile_zf,
+        in_specs=[tile_q, tile_zf,
                   _const((1, c_out)), _const((1, c_out)),
                   _const((1, c_out)),
                   _const((1, f)), _const((1, f)), _const((1, f)),
@@ -1281,7 +1317,7 @@ def _backward(n_segment, n_div, eps, res, dy, trunk=None):
         ),
         compiler_params=_vmem_params(),
         interpret=interp,
-    )(dq5, p5, z5, _vec(a3, c_out), _vec(e3, c_out), _vec(f3, c_out),
+    )(dq5, z5, _vec(a3, c_out), _vec(e3, c_out), _vec(f3, c_out),
       _vec(sa2, f), _vec(sb2, f), _vec(mu2, f),
       w3.reshape(f, c_out).T.astype(dt))
     s0_2, s1_2 = mda2[0], mda2[1]
@@ -1328,7 +1364,7 @@ def _backward(n_segment, n_div, eps, res, dy, trunk=None):
                           + (2 * c_out if proj else 0) + 4 * c)
            + t * wp * 4 * f)
     if tprev is not None:
-        bpr += t * wp * es * 2 * c * (2 if tprev[0] == "proj" else 1)
+        bpr += t * wp * es * 2 * (c // 4)  # prev z tile (F channels)
     rows = _rows_divisor(h, bpr)
     tile_f1, _, _ = _specs(b, t, rows, wp, f, h)
     tile_c, _, _ = _specs(b, t, rows, wp, c, h)
@@ -1364,21 +1400,25 @@ def _backward(n_segment, n_div, eps, res, dy, trunk=None):
     elif tprev is not None:
         # trunk: dx doubles as the PREVIOUS block's dq (relu-masked in
         # the kernel epilogue), with its BN3(/BNp) backward moment sums
-        pmode = tprev[0]
-        in_ops = [da1_5, u5, x5, dq5, tprev[1]]
-        in_specs = [tile_f1, tile_f1, tile_c, tile_c, tile_c]
-        if pmode == "proj":
-            in_ops.append(tprev[2])
-            in_specs.append(tile_c)
+        # computed from the previous block's z tile — p_prev/pr_prev
+        # are never saved (see _bk1: FK3-dot recompute + finale
+        # inversion); tprev = ("plain"|"proj", z_prev, sa2p, sb2p, w3p,
+        # mu3p[, sa3p, sb3p, cpp]) built by the trunk driver
+        pmode, zp5, sa2p, sb2p, w3p, mu3p = tprev[:6]
+        fp = zp5.shape[4]
+        tile_fp, _, _ = _specs(b, t, rows, wp, fp, h)
+        in_ops = [da1_5, u5, x5, dq5, zp5]
+        in_specs = [tile_f1, tile_f1, tile_c, tile_c, tile_fp]
         in_ops += vecs1
         in_specs += [_const((1, f))] * 3
-        in_ops.append(_vec(tprev[-2] if pmode == "proj" else tprev[-1], c))
-        in_specs.append(_const((1, c)))
+        in_ops += [_vec(sa2p, fp), _vec(sb2p, fp), _vec(mu3p, c)]
+        in_specs += [_const((1, fp))] * 2 + [_const((1, c))]
         if pmode == "proj":
-            in_ops.append(_vec(tprev[-1], c))
-            in_specs.append(_const((1, c)))
-        in_ops.append(w1t)
-        in_specs.append(_const((f, c)))
+            sa3p, sb3p, cpp = tprev[6:9]
+            in_ops += [_vec(sa3p, c), _vec(sb3p, c), _vec(cpp, c)]
+            in_specs += [_const((1, c))] * 3
+        in_ops += [w1t, w3p.astype(dt)]
+        in_specs += [_const((f, c)), _const((fp, c))]
         nm = 3 if pmode == "proj" else 2
         dx5, dw1, mprev = pl.pallas_call(
             functools.partial(_bk1, fold=fold, wt=w, prev=pmode),
@@ -1652,7 +1692,7 @@ def _backward_s2(n_segment, n_div, eps, res, dy, trunk=None):
         b, t, h, w, c = x.shape
         nt = b * t
         dt = x.dtype
-        x5, u5, z5, p5, pr5 = x, u, z, p, pr
+        x5, u5, z5, pr5 = x, u, z, pr
     else:
         nt, h, w, c = x.shape
         t = n_segment
@@ -1686,7 +1726,6 @@ def _backward_s2(n_segment, n_div, eps, res, dy, trunk=None):
         s1_p = jnp.sum(dqf * (pr.astype(jnp.float32) - mup),
                        axis=(0, 1, 2))
         dq5 = dq.reshape(b, t, ho, wo, c_out)
-        p5 = p.reshape(b, t, ho, wo, c_out)
         z5 = z.reshape(b, t, ho, wo, f)
         u5 = u.reshape(b, t, h, w, f)
         x5 = x.reshape(b, t, h, w, c)
@@ -1698,8 +1737,8 @@ def _backward_s2(n_segment, n_div, eps, res, dy, trunk=None):
     sa1, sb1 = _bn_vectors(g1, mu1, var1, be1, eps)
     sa2, sb2 = _bn_vectors(g2, mu2, var2, be2, eps)
 
-    # BK3 (half-res, shared kernel) ------------------------------------
-    bpr = t * wq * es * (2 * c_out * 2 + 2 * f * 2) + t * wq * 4 * c_out
+    # BK3 (half-res, shared kernel; p recomputed in-kernel from z) ------
+    bpr = t * wq * es * (2 * c_out + 2 * f * 2) + t * wq * 4 * c_out
     rows = _rows_divisor(ho, bpr)
     tile_q, _, _ = _specs(b, t, rows, wq, c_out, ho)
     tile_zf, _, _ = _specs(b, t, rows, wq, f, ho)
@@ -1711,7 +1750,7 @@ def _backward_s2(n_segment, n_div, eps, res, dy, trunk=None):
             jax.ShapeDtypeStruct((2, f), jnp.float32),
         ),
         grid=(b, ho // rows),
-        in_specs=[tile_q, tile_q, tile_zf,
+        in_specs=[tile_q, tile_zf,
                   _const((1, c_out)), _const((1, c_out)),
                   _const((1, c_out)),
                   _const((1, f)), _const((1, f)), _const((1, f)),
@@ -1724,7 +1763,7 @@ def _backward_s2(n_segment, n_div, eps, res, dy, trunk=None):
         ),
         compiler_params=_vmem_params(),
         interpret=interp,
-    )(dq5, p5, z5, _vec(a3, c_out), _vec(e3, c_out), _vec(f3, c_out),
+    )(dq5, z5, _vec(a3, c_out), _vec(e3, c_out), _vec(f3, c_out),
       _vec(sa2, f), _vec(sb2, f), _vec(mu2, f),
       w3.reshape(f, c_out).T.astype(dt))
     s0_2, s1_2 = mda2[0], mda2[1]
@@ -1790,7 +1829,7 @@ def _backward_s2(n_segment, n_div, eps, res, dy, trunk=None):
     bpr = (t * wq * es * (2 * f * 2 + 2 * c * 3 + 2 * c_out)
            + t * wq * 4 * (2 * f + 2 * c) + t * wp * es * (f + c))
     if tprev is not None:
-        bpr += t * wp * es * 2 * c
+        bpr += t * wp * es * 2 * (c // 4)  # prev z tile (F channels)
     rowsb = _rows_divisor_even(h, bpr)
     dup2 = lambda v: jnp.concatenate(
         [jnp.asarray(v, jnp.float32)] * 2).reshape(1, 2 * f)
@@ -1815,19 +1854,29 @@ def _backward_s2(n_segment, n_div, eps, res, dy, trunk=None):
     pmode = ""
     mprev = None
     if tprev is not None:
-        pmode = tprev[0]
-        in_ops.append(tprev[1])
-        in_specs.append(tile_fc)
+        # tprev = ("plain", z_prev, sa2p, sb2p, w3p, mu3p): a stage's
+        # block0 always follows a PLAIN block; p_prev is recomputed in
+        # the epilogue from its z tile (see _bk1_s2)
+        pmode, zp5, sa2p, sb2p, w3p, mu3p = tprev[:6]
+        fp5 = zp5.shape[4]
+        in_ops.append(zp5)
+        in_specs.append(pl.BlockSpec(
+            (1, t, rowsb, wp, fp5), lambda i, j: (i, 0, j, 0, 0),
+            memory_space=pltpu.VMEM))
     in_ops += [dup2(a1), dup2(e1), dup2(f1v),
                _vec(ap_, c_out), _vec(ep_, c_out), _vec(fp_, c_out)]
     in_specs += [_const((1, 2 * f))] * 3 + [_const((1, c_out))] * 3
     if tprev is not None:
         mu3d = jnp.concatenate(
-            [jnp.asarray(tprev[-1], jnp.float32)] * 2).reshape(1, 2 * c)
-        in_ops.append(mu3d)
-        in_specs.append(_const((1, 2 * c)))
+            [jnp.asarray(mu3p, jnp.float32)] * 2).reshape(1, 2 * c)
+        in_ops += [mu3d, _vec(sa2p, fp5), _vec(sb2p, fp5)]
+        in_specs += [_const((1, 2 * c)), _const((1, fp5)),
+                     _const((1, fp5))]
     in_ops += [w1t, wpk.T]
     in_specs += [_const((f, c)), _const((c_out, c))]
+    if tprev is not None:
+        in_ops.append(w3p.astype(dt))
+        in_specs.append(_const((fp5, c)))
     out_shapes = [
         jax.ShapeDtypeStruct((b, t, h, wo, 2 * c), dt),
         jax.ShapeDtypeStruct((c, f), jnp.float32),

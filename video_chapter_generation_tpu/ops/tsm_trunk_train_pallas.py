@@ -93,7 +93,12 @@ def _trunk_forward(x4, blocks, kinds, t, n_div, eps):
         else:
             sap, sbp = _bn_vectors(gp, stats[6], stats[7], bep, eps)
             prev = ("proj", p5, pr5, sa3, sb3, sap, sbp)
-        saved.append((x5b, u5, z5, p5, pr5))
+        # p5 is NOT kept as a residual (the backward recomputes it from
+        # z via the FK3 dot / finale inversion — tsm_block_train_pallas
+        # _bk3/_bk1 epilogues); only the top block's p (7x7-scale) is
+        # returned for the XLA prologue. pr5 stays: the projection
+        # blocks' own BK1 needs it pointwise for the BNp backward.
+        saved.append((x5b, u5, z5, pr5))
         stats_all.append(stats)
         x5 = None
     # top-block finale in XLA (the only one left; 7x7-scale on ResNet50)
@@ -106,7 +111,7 @@ def _trunk_forward(x4, blocks, kinds, t, n_div, eps):
                      0.0).astype(dt)
     bb, tt, ho, wo, co = y5.shape
     y4 = y5.reshape(bb * tt, ho, wo, co)
-    return y4, tuple(stats_all), (tuple(saved), y5)
+    return y4, tuple(stats_all), (tuple(saved), y5, pp)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -126,9 +131,9 @@ def tsm_trunk_train(x, blocks, kinds, n_segment: int, n_div: int = 8,
 
 
 def _trunk_vjp_fwd(x, blocks, kinds, n_segment, n_div, eps):
-    y, stats, (saved, y5_top) = _trunk_forward(
+    y, stats, (saved, y5_top, p_top) = _trunk_forward(
         x, blocks, kinds, n_segment, n_div, eps)
-    res = (saved, y5_top, blocks,
+    res = (saved, y5_top, p_top, blocks,
            tuple(tuple(jax.lax.stop_gradient(s) for s in st)
                  for st in stats))
     return (y, stats), res
@@ -136,19 +141,21 @@ def _trunk_vjp_fwd(x, blocks, kinds, n_segment, n_div, eps):
 
 def _trunk_vjp_bwd(kinds, n_segment, n_div, eps, res, ct):
     dy4, _dstats = ct  # running-stat updates do not backprop (buffers)
-    saved, y5_top, blocks, stats_all = res
+    saved, y5_top, p_top, blocks, stats_all = res
     t = n_segment
     n = len(kinds)
 
     # top-block prologue (XLA): relu mask + BN3(/BNp) backward moments
-    _, _, _, p5, pr5 = saved[-1]
-    dt = p5.dtype
+    # (p_top is the only p kept — 7x7-scale; every other block's p is
+    # recomputed in-kernel from its z residual)
+    _, _, _, pr5 = saved[-1]
+    dt = p_top.dtype
     dy5 = dy4.reshape(y5_top.shape)
     dq5 = jnp.where(y5_top > 0, dy5, 0).astype(dt)
     dqf = dq5.astype(jnp.float32)
     st = stats_all[-1]
     s0 = jnp.sum(dqf, axis=(0, 1, 2, 3))
-    s1 = jnp.sum(dqf * (p5.astype(jnp.float32) - st[4]),
+    s1 = jnp.sum(dqf * (p_top.astype(jnp.float32) - st[4]),
                  axis=(0, 1, 2, 3))
     if kinds[-1] == "plain":
         s1p = None
@@ -161,21 +168,35 @@ def _trunk_vjp_bwd(kinds, n_segment, n_div, eps, res, ct):
     dx5 = None
     for i in reversed(range(n)):
         kind = kinds[i]
-        x5b, u5, z5, p5, pr5 = saved[i]
+        x5b, u5, z5, pr5 = saved[i]
         w1, w2, w3, wpj, g1, be1, g2, be2, g3, be3, gp, bep = _unpack(
             blocks[i], kind)
         prev_spec = None
+        sap_prev = None
         if i > 0:
             pk = kinds[i - 1]
-            _, _, _, pp5, ppr5 = saved[i - 1]
+            _, _, zp5, _ = saved[i - 1]
             pst = stats_all[i - 1]
+            (pw1, pw2, pw3, _pwp, _pg1, _pbe1, pg2, pbe2, pg3, pbe3,
+             pgp, pbep) = _unpack(blocks[i - 1], pk)
+            fzp = zp5.shape[-1]
+            w3p = pw3.reshape(fzp, -1)
+            sa2p, sb2p = _bn_vectors(pg2, pst[2], pst[3], pbe2, eps)
             if pk == "plain":
-                prev_spec = ("plain", pp5, pst[4])
+                prev_spec = ("plain", zp5, sa2p, sb2p, w3p, pst[4])
             else:
-                prev_spec = ("proj", pp5, ppr5, pst[4], pst[6])
+                # the epilogue recovers bnp(pr_prev) by finale
+                # inversion and accumulates sum dq*(rr - cpp) =
+                # sap*(sum dq*(pr - mup)); divide by sap below
+                sa3p, sb3p = _bn_vectors(pg3, pst[4], pst[5], pbe3, eps)
+                sap_prev, sbp_prev = _bn_vectors(
+                    pgp, pst[6], pst[7], pbep, eps)
+                cpp = sap_prev * pst[6] + sbp_prev
+                prev_spec = ("proj", zp5, sa2p, sb2p, w3p, pst[4],
+                             sa3p, sb3p, cpp)
         tr = dict(dq=carry[0], s0=carry[1], s1=carry[2], s1p=carry[3],
                   prev=prev_spec)
-        res_i = (x5b, u5, z5, p5, None, pr5, stats_all[i],
+        res_i = (x5b, u5, z5, None, None, pr5, stats_all[i],
                  w1, w2, w3, wpj, g1, be1, g2, be2, g3, be3, gp, bep)
         bwd = _backward_s2 if kind == "s2" else _backward
         g, (dout, mprev) = bwd(t, n_div, eps, res_i, None, trunk=tr)
@@ -192,8 +213,9 @@ def _trunk_vjp_bwd(kinds, n_segment, n_div, eps, res, ct):
             carry = (dq_prev, mprev[0, :c] + mprev[0, c:],
                      mprev[1, :c] + mprev[1, c:], None)
         else:
-            carry = (dout, mprev[0], mprev[1],
-                     mprev[2] if mprev.shape[0] == 3 else None)
+            s1p_prev = (mprev[2] / sap_prev
+                        if mprev.shape[0] == 3 else None)
+            carry = (dout, mprev[0], mprev[1], s1p_prev)
 
     dx4 = dx5.reshape(dx5.shape[0] * dx5.shape[1], *dx5.shape[2:])
     return (dx4, tuple(grads))
