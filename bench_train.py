@@ -60,6 +60,13 @@ def main(argv=None):
     dtype = opt("--dtype", None, str)  # override model.compute_dtype
     if dtype:
         overrides.append(f"model.compute_dtype={dtype}")
+    # production frame contract: loaders emit the uint8 4x4 space-to-depth
+    # pack (native decoder / data.datasets s2d=True) and the fused training
+    # stem normalizes in VMEM — no on-device transpose + normalize passes.
+    # --no-s2d A/Bs the legacy [.., H, W, 3] float feed.
+    s2d = on_tpu and "--no-s2d" not in argv
+    if s2d:
+        overrides.append("model.stem_input=s2d")
     if overrides:
         cfg = cfg.apply_overrides(overrides)
     task = SegmentWindowTask(cfg, tiny=tiny, hw=hw)
@@ -72,9 +79,16 @@ def main(argv=None):
     state = create_train_state(variables, tx)
 
     rng = np.random.default_rng(0)
+    frames_u8 = rng.integers(
+        0, 256, (2, B, W, seg, hw, hw, 3), dtype=np.uint8)
+    if s2d:
+        from video_chapter_generation_tpu.data.native_loader import (
+            space_to_depth4,
+        )
+
+        frames_u8 = space_to_depth4(frames_u8)
     batches = {
-        "img_clips": jnp.asarray(rng.integers(
-            0, 256, (2, B, W, seg, hw, hw, 3), dtype=np.uint8)),
+        "img_clips": jnp.asarray(frames_u8),
         # keep ids inside the tiny-mode vocab (128); out-of-range ids
         # gather NaN via jnp.take's fill mode and poison the smoke loss
         "text_ids": jnp.asarray(rng.integers(
@@ -84,7 +98,8 @@ def main(argv=None):
     }
 
     def loss_fn(params, batch_stats, batch, key):
-        img = normalize_frames(batch["img_clips"])
+        img = (batch["img_clips"] if s2d
+               else normalize_frames(batch["img_clips"]))
         (logits, _), mutated = task.model.apply(
             {"params": params, "batch_stats": batch_stats},
             img, batch["text_ids"], jnp.ones_like(batch["text_ids"]),

@@ -86,6 +86,36 @@ def test_window_dataset(corpus, wp):
             assert item["img_clips"][w].sum() == 0
 
 
+def test_window_dataset_s2d(corpus, wp):
+    """s2d=True emits the uint8 4x4 space-to-depth pack consumed by a
+    stem_input='s2d' model — identical pixels, reordered."""
+    from video_chapter_generation_tpu.data.native_loader import (
+        space_to_depth4,
+    )
+
+    kw = dict(clip_frame_num=16, max_text_len=16, window_size=1, hw=8)
+    plain = WindowClipDataset(corpus, wp, **kw).__getitem__(0, epoch=0)
+    packed = WindowClipDataset(corpus, wp, s2d=True, **kw).__getitem__(
+        0, epoch=0)
+    assert packed["img_clips"].shape == (3, 16, 2, 2, 48)
+    assert packed["img_clips"].dtype == np.uint8
+    np.testing.assert_array_equal(
+        packed["img_clips"], space_to_depth4(plain["img_clips"]))
+
+
+def test_clip_dataset_s2d(corpus, wp):
+    from video_chapter_generation_tpu.data.native_loader import (
+        space_to_depth4,
+    )
+
+    kw = dict(clip_frame_num=16, max_text_len=16, hw=8)
+    plain = ClipDataset(corpus, wp, **kw).__getitem__(1, epoch=0)
+    packed = ClipDataset(corpus, wp, s2d=True, **kw).__getitem__(1, epoch=0)
+    assert packed["img_clip"].shape == (16, 2, 2, 48)
+    np.testing.assert_array_equal(
+        packed["img_clip"], space_to_depth4(plain["img_clip"]))
+
+
 def test_infer_clip_dataset(corpus, wp):
     clips = []
     for vid in corpus.vids:

@@ -146,3 +146,39 @@ def test_no_decay_mask_rules():
     assert mask["word_embeddings"]["embedding"] is False
     assert mask["bn1"]["scale"] is False
     assert mask["head"]["kernel"] is True
+
+
+def test_segment_window_task_s2d_feed_matches_frames():
+    """stem_input='s2d' (raw uint8 space-to-depth feed) computes the same
+    training loss as the legacy float-frames feed: the s2d fallback path
+    un-s2ds and applies the same ImageNet affine normalize_frames uses."""
+    from video_chapter_generation_tpu.data.native_loader import space_to_depth4
+    from video_chapter_generation_tpu.train.tasks import SegmentWindowTask
+
+    rng = np.random.default_rng(0)
+    B, W, T, hw = 1, 3, 4, 16
+    frames = rng.integers(0, 256, (B, W, T, hw, hw, 3), dtype=np.uint8)
+    base = dict(text_ids=jnp.asarray(
+        rng.integers(1, 100, (B, W, 12)), jnp.int32))
+    base["attention_mask"] = jnp.ones_like(base["text_ids"])
+    base["label"] = jnp.zeros((B,), jnp.int32)
+
+    cfg = Config().apply_overrides([
+        "data.clip_frame_num=4", "data.window_size=1",
+        "model.compute_dtype=float32",
+    ])
+    losses = {}
+    for mode in ("frames", "s2d"):
+        c = cfg.apply_overrides([f"model.stem_input={mode}"])
+        task = SegmentWindowTask(c, tiny=True, hw=hw, text_len=12)
+        variables = task.init_variables()
+        batch = dict(base)
+        batch["img_clips"] = jnp.asarray(
+            space_to_depth4(frames) if mode == "s2d" else frames)
+        loss, _ = task.loss_fn(variables["params"],
+                               variables["batch_stats"], batch,
+                               jax.random.PRNGKey(1))
+        losses[mode] = float(loss)
+    # not bit-exact: XLA may FMA-contract the normalize affine differently
+    # in the two graph contexts (~1 ULP on the inputs)
+    assert np.isclose(losses["s2d"], losses["frames"], rtol=1e-4), losses

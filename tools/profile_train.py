@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--no-trunk", action="store_true",
                     help="A/B: per-block fusedtrain kernels instead of "
                          "the cross-block trunk custom VJP")
+    ap.add_argument("--no-s2d", action="store_true",
+                    help="A/B: legacy float-frames feed (on-device "
+                         "normalize + space-to-depth) instead of the "
+                         "uint8 s2d production contract")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -62,6 +66,11 @@ def main():
                      + ("bfloat16" if args.dtype == "bf16" else "float32"))
     if args.impl:
         overrides.append(f"model.tsm_impl={args.impl}")
+    # production frame contract (see bench_train.py): uint8 s2d feed with
+    # in-kernel normalize; --no-s2d A/Bs the legacy float-frames feed
+    s2d = not args.no_s2d
+    if s2d:
+        overrides.append("model.stem_input=s2d")
     if overrides:
         cfg = cfg.apply_overrides(overrides)
     task = SegmentWindowTask(cfg, tiny=False, hw=224)
@@ -75,9 +84,16 @@ def main():
     state = create_train_state(variables, tx)
 
     rng = np.random.default_rng(0)
+    frames_u8 = rng.integers(0, 256, (B, W, seg, 224, 224, 3),
+                             dtype=np.uint8)
+    if s2d:
+        from video_chapter_generation_tpu.data.native_loader import (
+            space_to_depth4,
+        )
+
+        frames_u8 = space_to_depth4(frames_u8)
     batch = {
-        "img_clips": jnp.asarray(rng.integers(
-            0, 256, (B, W, seg, 224, 224, 3), dtype=np.uint8)),
+        "img_clips": jnp.asarray(frames_u8),
         "text_ids": jnp.asarray(rng.integers(
             0, 1000, (B, W, L), dtype=np.int64).astype(np.int32)),
         "label": jnp.asarray(rng.integers(0, 2, (B,), dtype=np.int64)
@@ -85,7 +101,8 @@ def main():
     }
 
     def loss_fn(params, batch_stats, batch, key):
-        img = normalize_frames(batch["img_clips"])
+        img = (batch["img_clips"] if s2d
+               else normalize_frames(batch["img_clips"]))
         (logits, _), mutated = task.model.apply(
             {"params": params, "batch_stats": batch_stats},
             img, batch["text_ids"], jnp.ones_like(batch["text_ids"]),

@@ -27,18 +27,19 @@ def main(argv=None):
 
     kind = cfg.model.kind
     hw = 64 if args.tiny else 224
+    s2d = cfg.model.stem_input == "s2d"
     if kind == "two_stream_window":
         task = SegmentWindowTask(cfg, tiny=args.tiny, hw=hw)
         make_ds = lambda c: WindowClipDataset(
             c, tokenizer, cfg.data.clip_frame_num, cfg.data.max_text_len,
             cfg.data.window_size, cfg.model.data_mode, cfg.data.fps,
-            cfg.train.seed, hw,
+            cfg.train.seed, hw, s2d=s2d,
         )
     elif kind == "two_stream":
         task = SegmentTask(cfg, tiny=args.tiny, hw=hw)
         make_ds = lambda c: ClipDataset(
             c, tokenizer, cfg.data.clip_frame_num, cfg.data.max_text_len,
-            cfg.model.data_mode, cfg.data.fps, cfg.train.seed, hw,
+            cfg.model.data_mode, cfg.data.fps, cfg.train.seed, hw, s2d=s2d,
         )
     elif kind == "text":
         task = SegmentTextTask(cfg, tiny=args.tiny,

@@ -63,6 +63,12 @@ class ModelConfig:
     # b8 without remat on v5e (1116 vs 1322 frames/s — PERF.md round 3),
     # so off by default; turn on for larger windows / longer clips.
     remat_vision: bool = False
+    # stem input layout: "frames" = normalized float [.., H, W, 3];
+    # "s2d" = raw uint8 4x4 space-to-depth [.., H/4, W/4, 48] as emitted
+    # by the native decoder (data/native_loader.py) — the fused stems
+    # normalize in VMEM, removing the on-device transpose + normalize
+    # passes from BOTH the inference and training hot paths (PERF.md).
+    stem_input: str = "frames"
     # pretrained checkpoint paths (converted from torch; optional)
     bert_init: Optional[str] = None
     vision_init: Optional[str] = None

@@ -78,7 +78,7 @@ class ClipDataset:
 
     def __init__(self, corpus: VideoCorpus, tokenizer, clip_frame_num: int = 16,
                  max_text_len: int = 100, mode: str = "all", fps: int = 1,
-                 seed: int = 123, hw: int = FRAME_HW):
+                 seed: int = 123, hw: int = FRAME_HW, s2d: bool = False):
         self.corpus = corpus
         self.tokenizer = tokenizer
         self.clip_frame_num = clip_frame_num
@@ -87,6 +87,7 @@ class ClipDataset:
         self.fps = fps
         self.seed = seed
         self.hw = hw
+        self.s2d = s2d  # emit uint8 4x4 space-to-depth (stem_input="s2d")
         self.cache = FrameCache()
 
     def __len__(self):
@@ -118,10 +119,15 @@ class ClipDataset:
             "label": np.int32(is_positive),
         }
         if self.mode != "text":
-            out["img_clip"] = _clip_images(
+            imgs = _clip_images(
                 self.corpus, vid, clip, image_num, self.clip_frame_num,
                 self.hw, self.cache,
             )
+            if self.s2d:
+                from .native_loader import space_to_depth4
+
+                imgs = space_to_depth4(imgs)
+            out["img_clip"] = imgs
         return out
 
 
@@ -131,7 +137,7 @@ class WindowClipDataset:
     def __init__(self, corpus: VideoCorpus, tokenizer, clip_frame_num: int = 16,
                  max_text_len: int = 100, window_size: int = 1,
                  mode: str = "all", fps: int = 1, seed: int = 123,
-                 hw: int = FRAME_HW):
+                 hw: int = FRAME_HW, s2d: bool = False):
         self.corpus = corpus
         self.tokenizer = tokenizer
         self.clip_frame_num = clip_frame_num
@@ -141,6 +147,7 @@ class WindowClipDataset:
         self.fps = fps
         self.seed = seed
         self.hw = hw
+        self.s2d = s2d  # emit uint8 4x4 space-to-depth (stem_input="s2d")
         self.cache = FrameCache()
 
     def __len__(self):
@@ -193,6 +200,10 @@ class WindowClipDataset:
         imgs, text_ids, masks, starts = self._encode_window(
             vid, clips, image_num, win
         )
+        if imgs is not None and self.s2d:
+            from .native_loader import space_to_depth4
+
+            imgs = space_to_depth4(imgs)
         out = {
             "text_ids": text_ids,
             "attention_mask": masks,

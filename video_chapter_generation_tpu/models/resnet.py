@@ -559,15 +559,14 @@ class ResNet(nn.Module):
             if s2d and not fuse_stem and not fuse_stem_train:
                 # fallback (training / off-TPU): undo the space-to-depth
                 # and normalize, then run the standard stem
-                from ..ops.preprocess import _affine_consts
+                from ..ops.preprocess import normalize_frames
 
                 n_, nsp = y.shape[0], y.shape[1]
                 y = y.reshape(n_, nsp, nsp, 4, 4, 3)
                 y = y.transpose(0, 1, 3, 2, 4, 5)
                 y = y.reshape(n_, 4 * nsp, 4 * nsp, 3)
                 if y.dtype == jnp.uint8:
-                    a3, b3 = _affine_consts(jnp.float32)
-                    y = (y.astype(jnp.float32) * a3 + b3).astype(self.dtype)
+                    y = normalize_frames(y, out_dtype=self.dtype)
             if fuse_stem_train:
                 from ..ops.stem_train_pallas import (
                     stem_frames_train,

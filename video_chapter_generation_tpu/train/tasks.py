@@ -51,10 +51,23 @@ def _vision(cfg: Config, tiny: bool, n_segment: int, dtype) -> ResNet:
     if tiny:
         return ResNet(stage_sizes=(1, 1, 1, 1), n_segment=n_segment,
                       tsm_impl=cfg.model.tsm_impl,
+                      stem_input=cfg.model.stem_input,
                       remat=cfg.model.remat_vision, dtype=dtype)
     return ResNet(depth=50, n_segment=n_segment,
                   tsm_impl=cfg.model.tsm_impl,
+                  stem_input=cfg.model.stem_input,
                   remat=cfg.model.remat_vision, dtype=dtype)
+
+
+def _prep_frames(cfg: Config, x, dtype):
+    """Device-side frame prep matched to the stem contract: with
+    stem_input='s2d' the raw uint8 space-to-depth pack goes straight to
+    the model (the fused stems normalize in VMEM; the off-TPU fallback
+    un-s2ds + normalizes inside ResNet), otherwise the fused uint8
+    normalize (ops/preprocess.py)."""
+    if cfg.model.stem_input == "s2d":
+        return x
+    return normalize_frames(x, out_dtype=dtype)
 
 
 class _TaskBase:
@@ -86,7 +99,11 @@ class SegmentWindowTask(_TaskBase):
     def _example(self):
         W = 2 * self.cfg.data.window_size + 1
         seg = self.cfg.data.clip_frame_num
-        img = jnp.zeros((1, W, seg, self.hw, self.hw, 3))
+        if self.cfg.model.stem_input == "s2d":
+            q = self.hw // 4
+            img = jnp.zeros((1, W, seg, q, q, 48), jnp.uint8)
+        else:
+            img = jnp.zeros((1, W, seg, self.hw, self.hw, 3))
         ids = jnp.ones((1, W, self.text_len), jnp.int32)
         return img, ids, jnp.ones_like(ids)
 
@@ -96,7 +113,7 @@ class SegmentWindowTask(_TaskBase):
                                img, ids, mask)
 
     def loss_fn(self, params, batch_stats, batch, rng):
-        img = normalize_frames(batch["img_clips"], out_dtype=self.dtype)
+        img = _prep_frames(self.cfg, batch["img_clips"], self.dtype)
         (logits, _), mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             img, batch["text_ids"], batch["attention_mask"],
@@ -111,7 +128,7 @@ class SegmentWindowTask(_TaskBase):
 
         @jax.jit
         def score(params, batch_stats, img_u8, ids, mask):
-            img = normalize_frames(img_u8, out_dtype=self.dtype)
+            img = _prep_frames(self.cfg, img_u8, self.dtype)
             _, prob = self.model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 img, ids, mask,
@@ -155,13 +172,17 @@ class SegmentTask(_TaskBase):
 
     def init_variables(self):
         seg = self.cfg.data.clip_frame_num
-        img = jnp.zeros((1, seg, self.hw, self.hw, 3))
+        if self.cfg.model.stem_input == "s2d":
+            q = self.hw // 4
+            img = jnp.zeros((1, seg, q, q, 48), jnp.uint8)
+        else:
+            img = jnp.zeros((1, seg, self.hw, self.hw, 3))
         ids = jnp.ones((1, self.cfg.data.max_text_len), jnp.int32)
         return self.model.init(jax.random.PRNGKey(self.cfg.train.seed),
                                img, ids, jnp.ones_like(ids))
 
     def loss_fn(self, params, batch_stats, batch, rng):
-        img = normalize_frames(batch["img_clip"], out_dtype=self.dtype)
+        img = _prep_frames(self.cfg, batch["img_clip"], self.dtype)
         (logits, _), mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             img, batch["text_ids"], batch["attention_mask"],
