@@ -95,6 +95,9 @@ def main():
     ap.add_argument("--chain", action="store_true",
                     help="enable multi-block chain kernels (A/B; measured "
                          "slower on v5e, PERF.md round 3)")
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 quantized trunk (layers 2-4 plain blocks; "
+                         "calibrated on the benchmark frames)")
     ap.add_argument("--nochain", action="store_true",
                     help=argparse.SUPPRESS)  # legacy no-op (off is default)
     ap.add_argument("--keep", action="store_true",
@@ -114,7 +117,8 @@ def main():
         except json.JSONDecodeError:
             pass
     model = ResNet(depth=50, n_segment=args.t, dtype=jnp.bfloat16,
-                   tsm_impl=impl, chain_blocks=not args.nochain,
+                   tsm_impl=impl, chain_blocks=args.chain,
+                   quantize=args.int8,
                    stem_input="s2d" if args.s2d else "frames")
     rng = np.random.default_rng(0)
     u8np = rng.integers(
@@ -131,6 +135,19 @@ def main():
                            u8 if args.s2d else normalize_frames(
                                u8, out_dtype=jnp.bfloat16),
                            train=False))()
+    if args.int8:
+        # calibrate on the same (random) frames: scales are realistic for
+        # THIS input distribution, which is all a perf profile needs
+        from video_chapter_generation_tpu.ops.quantize import (
+            calibrate_resnet_quant,
+        )
+
+        base = model.clone(quantize=False)
+        x = (u8 if args.s2d
+             else normalize_frames(u8, out_dtype=jnp.bfloat16))
+        scales = calibrate_resnet_quant(
+            base, {k: v for k, v in variables.items() if k != "quant"}, x)
+        variables = {**variables, "quant": scales}
 
     @jax.jit
     def run(v, u8):

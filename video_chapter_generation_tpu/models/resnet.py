@@ -271,6 +271,13 @@ class Bottleneck(nn.Module):
     # fused stride-2 consumer (tsm_bottleneck_s2_planar_pallas)
     planar_out: bool = False
     planar_in: bool = False
+    # W8A8 quantized inference (ResNet plans the chain; plain blocks of
+    # layers 2-4 only): the kernel reads x as int8 when the previous
+    # quantized block emitted it (dtype-dispatched); quant_last emits
+    # bf16 (or bf16 planar when planar_out) instead of int8. Scales live
+    # in the "quant" variables collection (ops/quantize.py calibration).
+    quant: bool = False
+    quant_last: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -302,6 +309,9 @@ class Bottleneck(nn.Module):
             # plans the chain so both ends agree)
             assert self.stride == 2 and self.projection
             return self._whole_block(x, use_ra)
+        if self.quant and use_ra:
+            assert self.stride == 1 and not self.projection
+            return self._whole_block_int8(x)
         if impl == "fusedtrain":
             # training-mode fused whole-block kernels (batch-stat BN
             # accumulated in-kernel + hand-written Pallas VJP,
@@ -409,6 +419,40 @@ class Bottleneck(nn.Module):
                                      wp=wp, sp=sp, bp=bp,
                                      planar_out=self.planar_out)
 
+    def _whole_block_int8(self, x):
+        """W8A8 quantized inference fast path (opt-in; ResNet.quantize):
+        the entire plain bottleneck in ONE int8 Pallas kernel
+        (ops/tsm_block_int8_pallas.py) — int8 dots on the MXU's 2x int8
+        rate, int8 activations between interior blocks. Weights are
+        quantized per output channel at trace time from the SAME folded
+        parameters as the bf16 path (checkpoints unchanged); activation
+        scales come from the "quant" collection (ops/quantize.py)."""
+        from ..ops.tsm_block_int8_pallas import tsm_bottleneck_int8_pallas
+
+        f = self.features
+        c = x.shape[-1]
+        w1 = _ConvKernel((1, 1, c, f), name="conv1")()
+        w2 = _ConvKernel((3, 3, f, f), name="conv2")()
+        w3 = _ConvKernel((1, 1, f, 4 * f), name="conv3")()
+
+        def fold(bn_name, n):
+            scale, bias, mean, var = _BNParams(n, name=bn_name)()
+            s = scale * jax.lax.rsqrt(var + 1e-5)
+            return s, bias - mean * s
+
+        s1, b1 = fold("bn1", f)
+        s2, b2 = fold("bn2", f)
+        s3, b3 = fold("bn3", 4 * f)
+        scales = self.variable(
+            "quant", "act_scales",
+            lambda: jnp.ones((4,), jnp.float32)).value
+        out_mode = ("planar" if self.planar_out
+                    else "bf16" if self.quant_last else "i8")
+        return tsm_bottleneck_int8_pallas(
+            x, w1, w2, w3, s1, b1, s2, b2, s3, b3, scales,
+            self.n_segment, self.n_div, out_mode=out_mode,
+            out_dtype=self.dtype)
+
     def _whole_block_train(self, x):
         """Training fast path: the bottleneck's convs fused with temporal
         shift, in-kernel batch-stat accumulation and a full Pallas custom
@@ -486,6 +530,14 @@ class ResNet(nn.Module):
     # recompute + the narrower row tiles it forces), so OFF by default;
     # kept as an A/B knob (tools/profile_model.py --chain).
     chain_blocks: bool = False
+    # W8A8 quantized inference (OPT-IN; never a silent default): plain
+    # bottlenecks of layers 2-4 run the int8 fused kernels
+    # (ops/tsm_block_int8_pallas.py) with activation scales from the
+    # "quant" variables collection — calibrate with
+    # ops.quantize.calibrate_resnet_quant and apply with
+    # {**variables, "quant": scales}. ~1.5x the bf16 flat kernels on
+    # v5e (PERF.md round 3); accuracy is a calibration property.
+    quantize: bool = False
     fold_bn_inference: Optional[bool] = None
     fuse_stem_pool: bool = True  # fused stem bn+relu+maxpool at inference
     # "frames": x is [N, H, W, 3] (normalized float). "s2d": x is the 4x4
@@ -679,13 +731,26 @@ class ResNet(nn.Module):
             if stage + 1 <= from_stage:
                 continue
             features = 64 * (2**stage)
+            # W8A8 chain for this stage's plain blocks (layers 2-4:
+            # F a 128-lane multiple). Entry block takes the block0's
+            # bf16 output and quantizes in-kernel; interior blocks pass
+            # int8 activations; the tail emits bf16 (planar when linked).
+            quant_stage = (
+                self.quantize and use_ra and stage > 0
+                and from_stage == 0 and capture is None
+                and num_blocks >= 2
+                and self.n_segment > 0 and self.fuse_tsm
+                and (jax.default_backend() == "tpu" or FORCE_WHOLE_BLOCKS)
+                and (64 * (2 ** stage)) % 128 == 0
+            )
             for block in range(num_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 impl, impl_train = impl_for(stage)
                 chain_mode = (
                     self._chain_stage(impl, use_ra, y)
                     if (block == 1 and num_blocks >= 3 and use_ra
-                        and self.chain_blocks) else None)
+                        and self.chain_blocks and not quant_stage)
+                    else None)
                 if chain_mode:
                     from ..ops.tsm_block_pallas import (
                         tsm_bottleneck_chain_pallas,
@@ -718,6 +783,8 @@ class ResNet(nn.Module):
                     planar_out=(block == num_blocks - 1 and links[stage]),
                     planar_in=(block == 0 and stage > 0
                                and links[stage - 1]),
+                    quant=quant_stage and block > 0,
+                    quant_last=quant_stage and block == num_blocks - 1,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{block}",
                 )(y, train, bn_batch_stats)

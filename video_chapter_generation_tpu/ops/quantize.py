@@ -1,0 +1,123 @@
+"""Post-training W8A8 calibration for the quantized inference trunk.
+
+Collects per-tensor activation abs-max statistics by running the CLEAN
+bf16/f32 bottleneck math (never the quantized path) over calibration
+frames, and returns the "quant" flax variables collection consumed by
+models/resnet.py ResNet(quantize=True) — per plain block of stages 2-4
+a (4,) f32 vector (sx, sz, sy2, sout):
+
+  sx   input scale (== previous block's output scale: same tensor)
+  sz   conv2 input (the relu(bn1 conv1) im2col values)
+  sy2  conv3 input (relu(bn2 conv2))
+  sout block output
+
+Usage:
+  scales = calibrate_resnet_quant(model, variables, frames)
+  qmodel = model.clone(quantize=True)
+  feats  = qmodel.apply({**variables, "quant": scales}, frames)
+
+Statistics come from the reference's own inference semantics (folded
+running-stat BN, temporal shift per ops/temporal_shift.py); max_pct
+trims outliers (e.g. 99.9) at the usual accuracy/saturation trade-off.
+The reference stack has no quantized path — this is a TPU-serving
+extension, opt-in and validated by tests/test_int8_quant.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .temporal_shift import temporal_shift
+
+
+def _fold(params, stats, name):
+    s = params[name]["scale"] * jax.lax.rsqrt(stats[name]["var"] + 1e-5)
+    return s, params[name]["bias"] - stats[name]["mean"] * s
+
+
+def _amax(v, pct: Optional[float]):
+    v = jnp.abs(v.astype(jnp.float32))
+    if pct is None:
+        return jnp.max(v)
+    return jnp.quantile(v.reshape(-1), pct / 100.0)
+
+
+def _block_forward(x, params, stats, stride, proj, n_segment, n_div,
+                   pct=None, collect=False):
+    """Generic bottleneck forward (bf16/f32 reference math, folded BN);
+    with collect=True also returns the three intermediate amaxes."""
+    c = x.shape[-1]
+    w1 = params["conv1"]["kernel"].reshape(c, -1)
+    f = w1.shape[1]
+    w2 = params["conv2"]["kernel"]
+    w3 = params["conv3"]["kernel"].reshape(f, -1)
+    s1, b1 = _fold(params, stats, "bn1")
+    s2, b2 = _fold(params, stats, "bn2")
+    s3, b3 = _fold(params, stats, "bn3")
+
+    y = temporal_shift(x, n_segment, n_div)
+    y = jnp.einsum("nhwc,cf->nhwf", y, w1.astype(y.dtype))
+    y1 = jnp.maximum(y * s1 + b1, 0.0).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        y1, w2.astype(y1.dtype), (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y2 = jnp.maximum(y * s2 + b2, 0.0).astype(x.dtype)
+    y = jnp.einsum("nhwf,fc->nhwc", y2, w3.astype(y2.dtype))
+    y3 = y * s3 + b3
+    residual = x
+    if proj:
+        wp = params["proj_conv"]["kernel"].reshape(c, -1)
+        sp, bp = _fold(params, stats, "proj_bn")
+        r = x[:, ::stride, ::stride] if stride > 1 else x
+        residual = (jnp.einsum("nhwc,ck->nhwk", r, wp.astype(x.dtype))
+                    * sp + bp)
+    out = jnp.maximum(y3 + residual, 0.0).astype(x.dtype)
+    if not collect:
+        return out
+    return out, (_amax(y1, pct), _amax(y2, pct), _amax(out, pct))
+
+
+def calibrate_resnet_quant(model, variables, frames,
+                           max_pct: Optional[float] = None,
+                           train: bool = False) -> Dict[str, Any]:
+    """Run `model` (a models.resnet.ResNet, quantize=False) over
+    calibration `frames` ([N*T, H, W, 3] normalized float, or the s2d
+    uint8 pack for stem_input='s2d' models) and return the "quant"
+    variables collection for the quantized twin.
+
+    Stage inputs come from the model's own capture hook (so the stem and
+    block0s run the production path); the per-block intermediates rerun
+    the reference bottleneck math above."""
+    del train
+    params_keys = variables["params"].keys()
+    sizes = model.stage_sizes or tuple(
+        sum(1 for k in params_keys if k.startswith(f"layer{s}_block"))
+        for s in range(1, 5))
+    capture: Dict[str, Any] = {}
+    model.apply(variables, frames, capture=capture)
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    out: Dict[str, Any] = {}
+    for stage in range(1, len(sizes)):  # layers 2-4
+        x = capture[f"stage{stage}"]
+        name0 = f"layer{stage + 1}_block0"
+        x = _block_forward(x, params[name0], stats[name0], 2, True,
+                           model.n_segment, model.n_div)
+        sx = _amax(x, max_pct) / 127.0
+        for blk in range(1, sizes[stage]):
+            name = f"layer{stage + 1}_block{blk}"
+            x, (a1, a2, ao) = _block_forward(
+                x, params[name], stats[name], 1, False,
+                model.n_segment, model.n_div, pct=max_pct, collect=True)
+            eps = 1e-6
+            out[name] = {"act_scales": jnp.stack([
+                jnp.maximum(sx, eps), jnp.maximum(a1 / 127.0, eps),
+                jnp.maximum(a2 / 127.0, eps),
+                jnp.maximum(ao / 127.0, eps)])}
+            sx = ao / 127.0  # next block's input IS this output
+    return jax.tree_util.tree_map(np.asarray, out)

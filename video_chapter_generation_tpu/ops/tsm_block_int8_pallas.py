@@ -1,0 +1,300 @@
+"""Pallas TPU kernels: W8A8 (int8 weights + int8 activations) fused
+inference bottleneck — the quantized serving path.
+
+v5e's MXU runs int8 at 2x the bf16 rate (measured 255 TOPs vs 150
+TFLOPs in-kernel) and int8 activations halve HBM traffic, so the
+quantized plain-block kernel measured 1.58x the bf16 flat kernel at
+layer-3 shapes (PERF.md round 3, probe at [32,16,14,14,1024]).
+
+Scope: stride-1 non-projection bottlenecks of stages with F a 128-lane
+multiple (ResNet50 layers 2-4 — 10 of the 16 blocks; layer 1's F=64
+padding waste and the stride-2 block0s stay bf16). The surrounding
+dispatch (models/resnet.py) chains them: the stage's block0 output is
+quantized once by the FIRST plain block (bf16 in, int8 out), interior
+blocks pass int8 activations directly, and the LAST plain block emits
+bf16 (optionally planar pair-merged columns for the next stride-2
+block0, exactly like tsm_bottleneck_pallas planar_out).
+
+Quantization scheme (static, symmetric):
+- weights per-OUTPUT-CHANNEL: swk[n] = amax(|wk[:, n]|)/127, computed
+  from the folded bf16 weights at trace time (quantize_weight below) —
+  free at run time because the dequant multiplies fold into the
+  existing per-channel BN affine vectors;
+- activations per-TENSOR with calibrated scales (ops/quantize.py):
+  sx (block input = previous block's output scale), sz (the conv2
+  input / im2col of relu(bn1 y1)), sy2 (relu(bn2 y2)), sout;
+- integer kernel spec (tests pin it exactly, interpret mode vs the
+  jnp reference int8_bottleneck_reference):
+    acc1 = xq @ w1q + (sel(nxt,prv)q @ w1q[:2fold] - xq[:, :2fold] @
+           w1q[:2fold])          (i32; the temporal-shift correction is
+                                  two small i8 dots, exactly equal to
+                                  conv1 on the shifted quantized input)
+    y1   = relu(acc1 * A1 + B1)                         (f32)
+    zcq  = clip(round(im2col_cols(y1) / sz))            (i8 [M, 3F])
+    y2   = relu(rowtap_sum(zcq @ w2q * A2) * 1 + B2)    (f32; A2 folds
+                                  sz * sw2[j] * s2[j mod F] per column)
+    y2q  = clip(round(y2 / sy2))
+    y3   = (y2q @ w3q) * A3 + B3                        (A3 = sy2*sw3*s3)
+    out  = relu(y3 + dequant(x))
+    store: i8 clip(round(out / sout)) | bf16 | bf16 planar pair-merged.
+
+Reference semantics being approximated: the bf16 fused block
+(ops/tsm_block_pallas.py), itself parity-tested against the reference
+torch stack (two_stream_window.py / temporal_shift.py). Accuracy is a
+calibration property, validated model-level by cosine similarity of
+pooled features (tests/test_int8_quant.py) — this path is OPT-IN
+(models/resnet.py quantize flag), never a silent default.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_weight(w, axis: int = 0):
+    """Per-output-channel symmetric int8: w [K, N] -> (wq i8, sw f32[N])
+    with wq = clip(round(w / sw), -127, 127), sw = amax(|w|, rows)/127."""
+    wf = w.astype(jnp.float32)
+    sw = jnp.max(jnp.abs(wf), axis=axis) / 127.0
+    sw = jnp.maximum(sw, 1e-12)
+    wq = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+    return wq, sw
+
+
+def _rq(v, inv_s):
+    """Static requant f32 -> i8 (round half to even, saturating)."""
+    return jnp.clip(jnp.round(v * inv_s), -127, 127).astype(jnp.int8)
+
+
+def _kernel_flat_i8(x_ref, w1q_ref, w1h_ref, w2q_ref, w3q_ref, a1_ref,
+                    b1_ref, a2_ref, b2_ref, a3_ref, b3_ref, sc_ref,
+                    o_ref, *, fold: int, h: int, w: int, wt: int,
+                    x_i8: bool, out_mode: str):
+    """Whole-sample W8A8 stride-1 non-projection bottleneck in FLAT
+    [M, C] space — the int8 twin of tsm_block_pallas._kernel_flat (same
+    block/mask layout reasoning; F is a 128-lane multiple so every lane
+    concat and f32 slice is tile-aligned).
+
+    sc_ref [1, 8] f32: (sx, 1/sz, 1/sy2, 1/sout, 0...) — runtime scalars
+    so recalibration never recompiles. x_i8=False is the stage-entry
+    mode: x arrives bf16 and is quantized here (input HBM traffic stays
+    bf16 for that one block; the dots still run int8). out_mode:
+    'i8' | 'bf16' | 'planar' (bf16 pair-merged columns)."""
+    g, t, c = x_ref.shape[0], x_ref.shape[1], x_ref.shape[4]
+    m = g * t * h * w
+    f = w1q_ref.shape[1]
+    hw = h * w
+    sx = sc_ref[0, 0]
+    x_in = x_ref[:].reshape(m, c)
+    if x_i8:
+        xq = x_in
+        xf32 = lambda: xq.astype(jnp.float32) * sx
+    else:
+        xq = _rq(x_in.astype(jnp.float32), 1.0 / sx)
+        xf32 = lambda: x_in.astype(jnp.float32)
+
+    # conv1 (int8) + temporal-shift correction: two small i8 dots whose
+    # i32 difference equals conv1 on the shifted quantized input
+    acc1 = jnp.dot(xq, w1q_ref[:], preferred_element_type=jnp.int32)
+    x2 = xq[:, : 2 * fold]
+    zf = jnp.zeros((hw, 2 * fold), jnp.int8)
+    nxt = jnp.concatenate([x2[hw:], zf], axis=0)
+    prv = jnp.concatenate([zf, x2[: m - hw]], axis=0)
+    if g > 1:
+        frame = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) // hw
+        nxt = jnp.where(frame % t == t - 1, 0, nxt).astype(jnp.int8)
+        prv = jnp.where(frame % t == 0, 0, prv).astype(jnp.int8)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * fold), 1)
+    sel = jnp.where(lane < fold, nxt, prv)
+    acc1 += jnp.dot(sel, w1h_ref[:], preferred_element_type=jnp.int32)
+    acc1 -= jnp.dot(x2, w1h_ref[:], preferred_element_type=jnp.int32)
+    y1 = jnp.maximum(acc1.astype(jnp.float32) * a1_ref[:] + b1_ref[:], 0.0)
+
+    # column taps in f32, ONE requant of the [M, 3F] im2col (probe:
+    # faster than requanting y1 and shifting i8 — i8 sublane shifts
+    # relayout), then the nstack conv2 dot in int8
+    colidx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % w
+    z1 = jnp.zeros((1, f), jnp.float32)
+    left = jnp.where(colidx == 0, 0.0,
+                     jnp.concatenate([z1, y1[: m - 1]], axis=0))
+    right = jnp.where(colidx >= wt - 1, 0.0,
+                      jnp.concatenate([y1[1:], z1], axis=0))
+    zcq = _rq(jnp.concatenate([left, y1, right], axis=-1), sc_ref[0, 1])
+    dd = jnp.dot(zcq, w2q_ref[:],
+                 preferred_element_type=jnp.int32).astype(jnp.float32)
+    dd = dd * a2_ref[:]  # per-column dequant incl. BN2 scale
+    d0, d1, d2 = dd[:, :f], dd[:, f: 2 * f], dd[:, 2 * f:]
+    rowidx = (jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) // w) % h
+    zwf = jnp.zeros((w, f), jnp.float32)
+    top = jnp.where(rowidx == 0, 0.0,
+                    jnp.concatenate([zwf, d0[: m - w]], axis=0))
+    bot = jnp.where(rowidx == h - 1, 0.0,
+                    jnp.concatenate([d2[w:], zwf], axis=0))
+    y2q = _rq(jnp.maximum(d1 + top + bot + b2_ref[:], 0.0), sc_ref[0, 2])
+
+    acc3 = jnp.dot(y2q, w3q_ref[:], preferred_element_type=jnp.int32)
+    y3 = acc3.astype(jnp.float32) * a3_ref[:] + b3_ref[:]
+    out = jnp.maximum(y3 + xf32(), 0.0)
+    if out_mode == "i8":
+        o_ref[:] = _rq(out, sc_ref[0, 3]).reshape(g, t, h, w, c)
+    elif out_mode == "planar":
+        v = out.astype(o_ref.dtype).reshape(g, t, h, w, c)
+        o_ref[:] = v.reshape(g, t, h, w // 2, 2 * c)
+    else:
+        o_ref[:] = out.astype(o_ref.dtype).reshape(g, t, h, w, c)
+
+
+def tsm_bottleneck_int8_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
+                               act_scales, n_segment: int, n_div: int = 8,
+                               out_mode: str = "i8",
+                               out_dtype=jnp.bfloat16):
+    """W8A8 fused inference bottleneck (stride-1, non-projection).
+
+    x: [N*T, H, W, C] int8 (interior block, scale act_scales[0]) or
+    bf16/f32 (stage entry — quantized in kernel). w1/w2/w3: the FLOAT
+    folded weights (quantized per output channel at trace time);
+    s*/b*: inference-folded BN affines; act_scales: (4,) f32
+    (sx, sz, sy2, sout) from ops/quantize.py calibration.
+    out_mode: 'i8' -> int8 [NT,H,W,C]; 'bf16' -> out_dtype same shape;
+    'planar' -> out_dtype [NT,H,W/2,2C] pair-merged for the next fused
+    stride-2 block0 (tsm_block_pallas._kernel_s2_planar)."""
+    nt, h, w, c = x.shape
+    t = n_segment
+    b = nt // t
+    w1 = w1.reshape(c, -1)
+    f = w1.shape[1]
+    assert f % 128 == 0, f  # layers 2-4; layer 1 stays bf16
+    w2 = w2.reshape(3, 3, f, f)
+    w3 = w3.reshape(f, -1)
+    assert w3.shape[1] == c, (w3.shape, c)
+    fold = c // n_div
+
+    w1q, sw1 = quantize_weight(w1)
+    w2r = w2.reshape(3, 3 * f, f)
+    w2flat = jnp.concatenate([w2r[0], w2r[1], w2r[2]], axis=1)  # [3F,3F]
+    w2q, sw2 = quantize_weight(w2flat)
+    w3q, sw3 = quantize_weight(w3)
+
+    sc = jnp.asarray(act_scales, jnp.float32).reshape(-1)
+    sx, sz, sy2, sout = sc[0], sc[1], sc[2], sc[3]
+    vec = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
+    a1 = vec(sx * sw1 * jnp.asarray(s1, jnp.float32))
+    b1v = vec(b1)
+    # conv2 column dequant folds sz, the per-column weight scale and the
+    # per-channel BN2 scale (taps sum AFTER the per-channel multiply —
+    # distributive); BN2 bias is added once after the tap sum
+    s2f = jnp.asarray(s2, jnp.float32)
+    a2 = vec(sz * sw2 * jnp.concatenate([s2f, s2f, s2f]))
+    b2v = vec(b2)
+    a3 = vec(sy2 * sw3 * jnp.asarray(s3, jnp.float32))
+    b3v = vec(b3)
+    scalars = jnp.zeros((1, 8), jnp.float32)
+    scalars = scalars.at[0, 0].set(sx)
+    scalars = scalars.at[0, 1].set(1.0 / sz)
+    scalars = scalars.at[0, 2].set(1.0 / sy2)
+    scalars = scalars.at[0, 3].set(1.0 / sout)
+
+    x_i8 = x.dtype == jnp.int8
+    wp8 = -(-w // 8) * 8
+    if out_mode == "i8":
+        out_shape, out_block = (b, t, h, w, c), (1, t, h, wp8, c)
+        odt = jnp.int8
+    elif out_mode == "planar":
+        assert w % 2 == 0, w
+        out_shape = (b, t, h, w // 2, 2 * c)
+        out_block = (1, t, h, wp8 // 2, 2 * c)
+        odt = out_dtype
+    else:
+        out_shape, out_block = (b, t, h, w, c), (1, t, h, wp8, c)
+        odt = out_dtype
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    x5 = x.reshape(b, t, h, w, c)
+    out = pl.pallas_call(
+        functools.partial(_kernel_flat_i8, fold=fold, h=h, w=wp8, wt=w,
+                          x_i8=x_i8, out_mode=out_mode),
+        out_shape=jax.ShapeDtypeStruct(out_shape, odt),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, h, wp8, c), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((c, f)), full((2 * fold, f)), full((3 * f, 3 * f)),
+            full((f, c)),
+            full((1, f)), full((1, f)), full((1, 3 * f)), full((1, f)),
+            full((1, c)), full((1, c)), full((1, 8)),
+        ],
+        out_specs=pl.BlockSpec(out_block, lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x5, w1q, w1q[: 2 * fold], w2q, w3q,
+      a1, b1v, a2, b2v, a3, b3v, scalars)
+    return out.reshape(nt, *out.shape[2:])
+
+
+def int8_bottleneck_reference(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
+                              act_scales, n_segment: int, n_div: int = 8):
+    """Pure-jnp reference of the EXACT integer kernel spec (module
+    docstring) — tests pin the pallas kernel against it bit-for-bit in
+    f32/i32 (interpret mode off-TPU). x: [NT, H, W, C] int8 or float."""
+    from .temporal_shift import temporal_shift
+
+    nt, h, w, c = x.shape
+    w1 = w1.reshape(c, -1)
+    f = w1.shape[1]
+    w3 = w3.reshape(f, -1)
+    sc = jnp.asarray(act_scales, jnp.float32).reshape(-1)
+    sx, sz, sy2, sout = sc[0], sc[1], sc[2], sc[3]
+
+    w1q, sw1 = quantize_weight(w1)
+    w2r = w2.reshape(3, 3, f, f).reshape(3, 3 * f, f)
+    w2flat = jnp.concatenate([w2r[0], w2r[1], w2r[2]], axis=1)
+    w2q, sw2 = quantize_weight(w2flat)
+    w3q, sw3 = quantize_weight(w3)
+
+    if x.dtype == jnp.int8:
+        xq = x
+        xf = x.astype(jnp.float32) * sx
+    else:
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+        xf = x.astype(jnp.float32)
+
+    xs = temporal_shift(xq.astype(jnp.int32), n_segment, n_div)
+    acc1 = jnp.einsum("nhwc,cf->nhwf", xs, w1q.astype(jnp.int32))
+    y1 = jnp.maximum(
+        acc1.astype(jnp.float32)
+        * (sx * sw1 * jnp.asarray(s1, jnp.float32))
+        + jnp.asarray(b1, jnp.float32), 0.0)
+
+    # im2col of the 3 column taps, quantized as ONE tensor
+    zl = jnp.pad(y1, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :w]
+    zr = jnp.pad(y1, ((0, 0), (0, 0), (0, 1), (0, 0)))[:, :, 1:]
+    zc = jnp.concatenate([zl, y1, zr], axis=-1)
+    zcq = jnp.clip(jnp.round(zc / sz), -127, 127).astype(jnp.int8)
+    dd = jnp.einsum("nhwj,jk->nhwk", zcq.astype(jnp.int32),
+                    w2q.astype(jnp.int32)).astype(jnp.float32)
+    s2f = jnp.asarray(s2, jnp.float32)
+    dd = dd * (sz * sw2 * jnp.concatenate([s2f, s2f, s2f]))
+    d0, d1, d2 = dd[..., :f], dd[..., f: 2 * f], dd[..., 2 * f:]
+    top = jnp.pad(d0, ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :h]
+    bot = jnp.pad(d2, ((0, 0), (0, 1), (0, 0), (0, 0)))[:, 1:]
+    y2 = jnp.maximum(d1 + top + bot + jnp.asarray(b2, jnp.float32), 0.0)
+    y2q = jnp.clip(jnp.round(y2 / sy2), -127, 127).astype(jnp.int8)
+
+    acc3 = jnp.einsum("nhwf,fc->nhwc", y2q.astype(jnp.int32),
+                      w3q.astype(jnp.int32))
+    y3 = (acc3.astype(jnp.float32)
+          * (sy2 * sw3 * jnp.asarray(s3, jnp.float32))
+          + jnp.asarray(b3, jnp.float32))
+    out = jnp.maximum(y3 + xf, 0.0)
+    outq = jnp.clip(jnp.round(out / sout), -127, 127).astype(jnp.int8)
+    return out, outq
