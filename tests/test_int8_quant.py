@@ -66,23 +66,62 @@ def test_int8_kernel_matches_integer_spec(mode):
                                    np.asarray(ref_f), atol=2e-5)
 
 
-def test_int8_model_calibrate_and_apply(monkeypatch):
+@pytest.mark.parametrize("mode", ["i8", "bf16", "planar"])
+def test_int8_halo_kernel_matches_integer_spec(mode):
+    """The row-tiled halo form (layer 1) computes the same integer spec
+    as the flat form — cross-tile halo rows included."""
+    (nt, h, w, c, f), args = _block_inputs(seed=7, h=8, w=8)
+    rng = np.random.default_rng(8)
+    if mode == "bf16":
+        x = jnp.asarray(rng.normal(size=(nt, h, w, c)), jnp.bfloat16)
+    else:
+        x = jnp.asarray(rng.integers(-127, 128, (nt, h, w, c)), jnp.int8)
+    out = tsm_bottleneck_int8_pallas(x, *args[:-1], args[-1],
+                                     out_mode=mode, out_dtype=jnp.float32,
+                                     force_halo=True)
+    ref_f, ref_q = int8_bottleneck_reference(x, *args[:-1], args[-1])
+    if mode == "i8":
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_q))
+    elif mode == "planar":
+        un = out.reshape(nt, h, w // 2, 2, c).reshape(nt, h, w, c)
+        np.testing.assert_allclose(np.asarray(un, np.float32),
+                                   np.asarray(ref_f), atol=2e-5)
+    else:
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref_f), atol=2e-5)
+
+
+def test_int8_halo_fpad_layer1_shape():
+    """F=64 (layer 1) pads to 128 lanes with bit-identical results."""
+    (nt, h, w, c, f), args = _block_inputs(seed=9, h=8, w=8, c=256, f=64)
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.integers(-127, 128, (nt, h, w, c)), jnp.int8)
+    out = tsm_bottleneck_int8_pallas(x, *args[:-1], args[-1],
+                                     out_mode="i8", force_halo=True)
+    _, ref_q = int8_bottleneck_reference(x, *args[:-1], args[-1])
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_q))
+
+
+@pytest.mark.parametrize("sizes,expected", [
+    ((1, 2, 2, 2), {"layer2_block1", "layer3_block1", "layer4_block1"}),
+    # layer1 plains quantize too (F=64, fpad/halo form)
+    ((2, 2, 1, 1), {"layer1_block1", "layer2_block1"}),
+])
+def test_int8_model_calibrate_and_apply(monkeypatch, sizes, expected):
     import video_chapter_generation_tpu.models.resnet as rn
     from video_chapter_generation_tpu.ops.quantize import (
         calibrate_resnet_quant,
     )
 
     monkeypatch.setattr(rn, "FORCE_WHOLE_BLOCKS", True)
-    model = rn.ResNet(stage_sizes=(1, 2, 2, 2), n_segment=2,
+    model = rn.ResNet(stage_sizes=sizes, n_segment=2,
                       tsm_impl="fusedall", dtype=jnp.float32)
     rng = np.random.default_rng(3)
     frames = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), frames)
 
     scales = calibrate_resnet_quant(model, variables, frames)
-    # layers 2-4 have one plain block each
-    assert set(scales) == {"layer2_block1", "layer3_block1",
-                           "layer4_block1"}
+    assert set(scales) == expected
     for v in scales.values():
         s = np.asarray(v["act_scales"])
         assert s.shape == (4,) and (s > 0).all()

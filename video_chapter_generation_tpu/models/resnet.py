@@ -670,6 +670,8 @@ class ResNet(nn.Module):
                 y = nn.relu(y)
                 y = nn.max_pool(y, (3, 3), strides=(2, 2),
                                 padding=[(1, 1), (1, 1)])
+            if capture is not None:
+                capture["stem"] = y
 
         if (TRUNK_TRAIN and from_stage == 0 and capture is None
                 and not use_ra
@@ -731,17 +733,19 @@ class ResNet(nn.Module):
             if stage + 1 <= from_stage:
                 continue
             features = 64 * (2**stage)
-            # W8A8 chain for this stage's plain blocks (layers 2-4:
-            # F a 128-lane multiple). Entry block takes the block0's
-            # bf16 output and quantizes in-kernel; interior blocks pass
-            # int8 activations; the tail emits bf16 (planar when linked).
+            # W8A8 chain for this stage's plain blocks (layers 2-4 only:
+            # layer 1's F=64 pads to 128 lanes and the doubled f32
+            # im2col/requant VPU work made its int8 halo kernel a wash or
+            # worse — 3.70/3.42 ms vs 3.20/3.45 bf16, PERF.md round 3).
+            # Entry block takes the block0's bf16 output and quantizes
+            # in-kernel; interior blocks pass int8 activations; the tail
+            # emits bf16 (planar when linked).
             quant_stage = (
                 self.quantize and use_ra and stage > 0
                 and from_stage == 0 and capture is None
                 and num_blocks >= 2
                 and self.n_segment > 0 and self.fuse_tsm
                 and (jax.default_backend() == "tpu" or FORCE_WHOLE_BLOCKS)
-                and (64 * (2 ** stage)) % 128 == 0
             )
             for block in range(num_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1

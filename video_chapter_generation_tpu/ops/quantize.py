@@ -97,27 +97,35 @@ def calibrate_resnet_quant(model, variables, frames,
     sizes = model.stage_sizes or tuple(
         sum(1 for k in params_keys if k.startswith(f"layer{s}_block"))
         for s in range(1, 5))
-    capture: Dict[str, Any] = {}
-    model.apply(variables, frames, capture=capture)
-    params = variables["params"]
-    stats = variables["batch_stats"]
 
-    out: Dict[str, Any] = {}
-    for stage in range(1, len(sizes)):  # layers 2-4
-        x = capture[f"stage{stage}"]
-        name0 = f"layer{stage + 1}_block0"
-        x = _block_forward(x, params[name0], stats[name0], 2, True,
-                           model.n_segment, model.n_div)
-        sx = _amax(x, max_pct) / 127.0
-        for blk in range(1, sizes[stage]):
-            name = f"layer{stage + 1}_block{blk}"
-            x, (a1, a2, ao) = _block_forward(
-                x, params[name], stats[name], 1, False,
-                model.n_segment, model.n_div, pct=max_pct, collect=True)
-            eps = 1e-6
-            out[name] = {"act_scales": jnp.stack([
-                jnp.maximum(sx, eps), jnp.maximum(a1 / 127.0, eps),
-                jnp.maximum(a2 / 127.0, eps),
-                jnp.maximum(ao / 127.0, eps)])}
-            sx = ao / 127.0  # next block's input IS this output
+    def collect(variables, frames):
+        # one jitted graph: eager apply through the tunneled runtime is
+        # dispatch-bound (CLAUDE.md) — calibration must compile
+        capture: Dict[str, Any] = {}
+        model.apply(variables, frames, capture=capture)
+        params = variables["params"]
+        stats = variables["batch_stats"]
+        out: Dict[str, Any] = {}
+        for stage in range(len(sizes)):  # all stages with plain blocks
+            x = capture["stem"] if stage == 0 else capture[f"stage{stage}"]
+            name0 = f"layer{stage + 1}_block0"
+            x = _block_forward(x, params[name0], stats[name0],
+                               2 if stage > 0 else 1, True,
+                               model.n_segment, model.n_div)
+            sx = _amax(x, max_pct) / 127.0
+            for blk in range(1, sizes[stage]):
+                name = f"layer{stage + 1}_block{blk}"
+                x, (a1, a2, ao) = _block_forward(
+                    x, params[name], stats[name], 1, False,
+                    model.n_segment, model.n_div, pct=max_pct,
+                    collect=True)
+                eps = 1e-6
+                out[name] = {"act_scales": jnp.stack([
+                    jnp.maximum(sx, eps), jnp.maximum(a1 / 127.0, eps),
+                    jnp.maximum(a2 / 127.0, eps),
+                    jnp.maximum(ao / 127.0, eps)])}
+                sx = ao / 127.0  # next block's input IS this output
+        return out
+
+    out = jax.jit(collect)(variables, frames)
     return jax.tree_util.tree_map(np.asarray, out)

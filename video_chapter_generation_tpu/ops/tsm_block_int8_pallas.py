@@ -149,10 +149,104 @@ def _kernel_flat_i8(x_ref, w1q_ref, w1h_ref, w2q_ref, w3q_ref, a1_ref,
         o_ref[:] = out.astype(o_ref.dtype).reshape(g, t, h, w, c)
 
 
+def _kernel_halo_i8(x_ref, top_ref, bot_ref, w1q_ref, w1h_ref, w2q_ref,
+                    w3q_ref, a1_ref, b1_ref, a2_ref, b2_ref, a3_ref,
+                    b3_ref, sc_ref, o_ref, *, fold: int, x_i8: bool,
+                    out_mode: str):
+    """Row-tiled W8A8 plain bottleneck — the int8 twin of
+    tsm_block_pallas._kernel (pair-mode conv1, width-im2col + 3
+    row-shifted K=3F dots). Used where the whole-sample flat form's f32
+    im2col temp does not fit VMEM (layer 1). Halo rows are 1-row tiles
+    above/below; their conv1 runs here and the TRUE image edges zero the
+    halo in y1 space (the 3x3's SAME padding)."""
+    t, r, w, c = (x_ref.shape[1], x_ref.shape[2], x_ref.shape[3],
+                  x_ref.shape[4])
+    f = w1q_ref.shape[1]
+    m = t * r * w
+    sx = sc_ref[0, 0]
+    dt = o_ref.dtype
+
+    def quant(v):
+        if x_i8:
+            return v
+        return _rq(v.astype(jnp.float32), 1.0 / sx)
+
+    def c1(xt):
+        """conv1 + temporal-shift correction on a [T, R', W, C] tile ->
+        f32 [T, R', W, F]."""
+        tt, rr = xt.shape[0], xt.shape[1]
+        mm = tt * rr * w
+        xq = quant(xt)
+        acc = jnp.dot(xq.reshape(mm, c), w1q_ref[:],
+                      preferred_element_type=jnp.int32)
+        x2 = xq[..., : 2 * fold]
+        z2 = jnp.zeros_like(x2[:1])
+        nxt = jnp.concatenate([x2[1:], z2], axis=0)
+        prv = jnp.concatenate([z2, x2[: tt - 1]], axis=0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 2 * fold), 3)
+        sel = jnp.where(lane < fold, nxt, prv).reshape(mm, 2 * fold)
+        acc += jnp.dot(sel, w1h_ref[:], preferred_element_type=jnp.int32)
+        acc -= jnp.dot(x2.reshape(mm, 2 * fold), w1h_ref[:],
+                       preferred_element_type=jnp.int32)
+        y = jnp.maximum(
+            acc.astype(jnp.float32) * a1_ref[:] + b1_ref[:], 0.0)
+        return y.reshape(tt, rr, w, f)
+
+    j = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    top_y = (jnp.where(j == 0, 0.0, 1.0).astype(jnp.float32)
+             * c1(top_ref[0]))
+    bot_y = (jnp.where(j == n_tiles - 1, 0.0, 1.0).astype(jnp.float32)
+             * c1(bot_ref[0]))
+    y1 = jnp.concatenate([top_y, c1(x_ref[0]), bot_y], axis=1)
+
+    # width im2col in f32, ONE requant, then 3 row-shifted int8 dots
+    # (each tap dequantized separately — per-(tap, channel) scales)
+    zc = jnp.zeros((t, r + 2, 1, f), jnp.float32)
+    z = jnp.concatenate(
+        [jnp.concatenate([zc, y1[:, :, :-1]], axis=2), y1,
+         jnp.concatenate([y1[:, :, 1:], zc], axis=2)], axis=-1)
+    zq = _rq(z, sc_ref[0, 1])  # [T, R+2, W, 3F] i8
+    # a2_ref [3, F]: per-(row-tap, output-channel) dequant incl. BN2
+    # scale — taps sum AFTER the per-channel multiply, center first
+    # (matches the flat kernel / integer reference ordering)
+    acc = (jnp.dot(zq[:, 1: r + 1].reshape(m, 3 * f), w2q_ref[1],
+                   preferred_element_type=jnp.int32).astype(jnp.float32)
+           * a2_ref[1])
+    acc += (jnp.dot(zq[:, :r].reshape(m, 3 * f), w2q_ref[0],
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+            * a2_ref[0])
+    acc += (jnp.dot(zq[:, 2: r + 2].reshape(m, 3 * f), w2q_ref[2],
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+            * a2_ref[2])
+    y2q = _rq(jnp.maximum(acc + b2_ref[:], 0.0), sc_ref[0, 2])
+
+    acc3 = jnp.dot(y2q, w3q_ref[:], preferred_element_type=jnp.int32)
+    y3 = acc3.astype(jnp.float32) * a3_ref[:] + b3_ref[:]
+    if x_i8:
+        xf = x_ref[0].reshape(m, c).astype(jnp.float32) * sx
+    else:
+        xf = x_ref[0].reshape(m, c).astype(jnp.float32)
+    out = jnp.maximum(y3 + xf, 0.0)
+    if out_mode == "i8":
+        o_ref[0] = _rq(out, sc_ref[0, 3]).reshape(t, r, w, c)
+    elif out_mode == "planar":
+        pm = out.astype(dt).reshape(t, r, w, c).reshape(
+            t, r, w // 2, 2 * c)
+        wpm = o_ref.shape[3]
+        if wpm > w // 2:
+            pm = jnp.concatenate(
+                [pm, jnp.zeros((t, r, wpm - w // 2, 2 * c), dt)], axis=2)
+        o_ref[0] = pm
+    else:
+        o_ref[0] = out.astype(o_ref.dtype).reshape(t, r, w, c)
+
+
 def tsm_bottleneck_int8_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
                                act_scales, n_segment: int, n_div: int = 8,
                                out_mode: str = "i8",
-                               out_dtype=jnp.bfloat16):
+                               out_dtype=jnp.bfloat16,
+                               force_halo: bool = False):
     """W8A8 fused inference bottleneck (stride-1, non-projection).
 
     x: [N*T, H, W, C] int8 (interior block, scale act_scales[0]) or
@@ -168,11 +262,23 @@ def tsm_bottleneck_int8_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
     b = nt // t
     w1 = w1.reshape(c, -1)
     f = w1.shape[1]
-    assert f % 128 == 0, f  # layers 2-4; layer 1 stays bf16
     w2 = w2.reshape(3, 3, f, f)
     w3 = w3.reshape(f, -1)
     assert w3.shape[1] == c, (w3.shape, c)
     fold = c // n_div
+
+    s1, b1, s2, b2 = (jnp.asarray(v).reshape(-1) for v in (s1, b1, s2, b2))
+    if f % 128:
+        # zero-pad the bottleneck width to full 128-lane tiles (layer 1,
+        # F=64): padded y1/y2 lanes are exactly 0 (zero weight columns ->
+        # sw clamp -> zero wq; zero affines) — bit-identical result,
+        # tile-aligned lane ops (same trick as the bf16 wrapper's fpad)
+        fp = -(-f // 128) * 128
+        w1 = jnp.pad(w1, ((0, 0), (0, fp - f)))
+        w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, fp - f), (0, fp - f)))
+        w3 = jnp.pad(w3, ((0, fp - f), (0, 0)))
+        s1, b1, s2, b2 = (jnp.pad(v, (0, fp - f)) for v in (s1, b1, s2, b2))
+        f = fp
 
     w1q, sw1 = quantize_weight(w1)
     w2r = w2.reshape(3, 3 * f, f)
@@ -200,6 +306,74 @@ def tsm_bottleneck_int8_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
     scalars = scalars.at[0, 3].set(1.0 / sout)
 
     x_i8 = x.dtype == jnp.int8
+    interp = jax.default_backend() != "tpu"
+    # whole-sample flat form iff its dominant f32 im2col temp fits VMEM;
+    # otherwise the row-tiled halo form (layer 1)
+    flat_fits = t * h * w * 3 * f * 4 <= 40 * 1024 * 1024
+    if not flat_fits or force_halo:
+        rows = 14 if h % 14 == 0 else max(
+            r for r in (8, 4, 2, 1) if h % r == 0)
+        if rows == h:
+            rows = max(h // 2, 1)
+        assert h % rows == 0, (h, rows)
+        n_tiles = h // rows
+        x5 = x.reshape(b, t, h, w, c)
+        idx = lambda i, j: (i, 0, j, 0, 0)
+        full = lambda shape: pl.BlockSpec(
+            shape, lambda i, j: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM)
+        halo_specs = [
+            pl.BlockSpec((1, t, 1, w, c),
+                         lambda i, j: (i, 0, jnp.maximum(j * rows - 1, 0),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1, w, c),
+                         lambda i, j: (i, 0,
+                                       jnp.minimum(j * rows + rows, h - 1),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if out_mode == "i8":
+            out_shape, out_block = (b, t, h, w, c), (1, t, rows, w, c)
+            odt = jnp.int8
+        elif out_mode == "planar":
+            assert w % 2 == 0, w
+            wpmb = -(-(w // 2) // 8) * 8
+            out_shape = (b, t, h, w // 2, 2 * c)
+            out_block = (1, t, rows, wpmb, 2 * c)
+            odt = out_dtype
+        else:
+            out_shape, out_block = (b, t, h, w, c), (1, t, rows, w, c)
+            odt = out_dtype
+        # same quantized weights/scales as the flat (nstack) form, split
+        # per row tap: w2flat columns [r*F:(r+1)*F] ARE tap r
+        a2h = a2.reshape(3, f)
+        w2q_taps = jnp.stack(
+            [w2q[:, r * f: (r + 1) * f] for r in range(3)])
+        out = pl.pallas_call(
+            functools.partial(_kernel_halo_i8, fold=fold, x_i8=x_i8,
+                              out_mode=out_mode),
+            out_shape=jax.ShapeDtypeStruct(out_shape, odt),
+            grid=(b, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, t, rows, w, c), idx,
+                             memory_space=pltpu.VMEM),
+                *halo_specs,
+                full((c, f)), full((2 * fold, f)),
+                full((3, 3 * f, f)), full((f, c)),
+                full((1, f)), full((1, f)), full((3, f)), full((1, f)),
+                full((1, c)), full((1, c)), full((1, 8)),
+            ],
+            out_specs=pl.BlockSpec(out_block, idx,
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=interp,
+        )(x5, x5, x5, w1q, w1q[: 2 * fold], w2q_taps,
+          w3q, a1, b1v, a2h, b2v, a3, b3v, scalars)
+        return out.reshape(nt, *out.shape[2:])
     wp8 = -(-w // 8) * 8
     if out_mode == "i8":
         out_shape, out_block = (b, t, h, w, c), (1, t, h, wp8, c)
