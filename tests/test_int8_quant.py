@@ -143,6 +143,28 @@ def test_int8_model_calibrate_and_apply(monkeypatch, sizes, expected):
     assert not np.allclose(out_sat, out)
 
 
+def test_int8_stem_matches_bf16_stem():
+    """Weight-only int8 stem vs the bf16 fused stem on raw u8 s2d input:
+    activations are exact, only weight rounding differs."""
+    from video_chapter_generation_tpu.ops.stem_pallas import (
+        stem_s2d_int8_pallas,
+        stem_s2d_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    nt, n = 4, 16
+    s4 = jnp.asarray(rng.integers(0, 256, (nt, n, n, 48)), jnp.uint8)
+    w7 = jnp.asarray(rng.normal(size=(7, 7, 3, 64)) * 0.05, jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(64,)) * 0.1 + 1.0)
+    bias = jnp.asarray(rng.normal(size=(64,)) * 0.1)
+    ref = np.asarray(stem_s2d_pallas(s4, w7, scale, bias,
+                                     out_dtype=jnp.float32))
+    out = np.asarray(stem_s2d_int8_pallas(s4, w7, scale, bias,
+                                          out_dtype=jnp.float32))
+    scale_mag = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, atol=0.01 * scale_mag)
+
+
 def test_int8_training_path_unaffected(monkeypatch):
     import video_chapter_generation_tpu.models.resnet as rn
 

@@ -637,6 +637,12 @@ class ResNet(nn.Module):
                     mean_v.value = mom * mean_v.value + (1 - mom) * mu
                     var_v.value = mom * var_v.value + (1 - mom) * var
             elif fuse_stem and s2d:
+                # the weight-only int8 stem (stem_s2d_int8_pallas)
+                # measured only -0.14 ms (3.45 -> 3.31: the stem is
+                # z-build/VPU-bound, not MXU-bound) — not worth the
+                # weight-rounding error in the layer every downstream
+                # feature depends on, so even quantize=True keeps the
+                # bf16 stem (PERF.md round 3)
                 from ..ops.stem_pallas import stem_s2d_pallas
 
                 w7 = _ConvKernel((7, 7, 3, 64),

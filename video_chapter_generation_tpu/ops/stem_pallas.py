@@ -336,6 +336,96 @@ def stem_s2d_pallas(s4, w7, scale, bias, out_dtype=jnp.bfloat16,
     return out
 
 
+def _stem_kernel_i8(x_ref, wq_ref, sv_ref, wb_ref, o_ref, *,
+                    zbuild: str = "two"):
+    """W8 (weight-quantized) stem on RAW uint8 s2d frames — the
+    activations are EXACT integers: x-128 fits int8, the conv runs as one
+    int8 [M,432]x[432,256] MXU dot at 2x the bf16 rate, and the missing
+    +128 / normalize-bias contribution of only the VALID (non-padding)
+    taps is restored by a tiny [M,16]x[16,256] f32 dot against
+    per-tap-validity bias rows (the reason the bf16 kernel could not fold
+    the normalize into the weights — SAME padding applies after
+    normalization). Only the weight rounding approximates."""
+    g, n = x_ref.shape[0], x_ref.shape[1]
+    dt = o_ref.dtype
+    xc = (x_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
+    z = _build_z(xc, zbuild)  # i8 [G, n, n, 432]
+    acc = jnp.dot(z.reshape(g * n * n, 432), wq_ref[:],
+                  preferred_element_type=jnp.int32)
+    # per-tap validity columns: tap t = tr*3+tc reads cell
+    # (I-1+tr, J-1+tc); lane 9 is the always-on BN-bias row
+    row = jax.lax.broadcasted_iota(jnp.int32, (g, n, n, 1), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, n, n, 1), 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 16), 3)
+    tr, tc = lane // 3, lane % 3
+    rvalid = (row + tr - 1 >= 0) & (row + tr - 1 <= n - 1)
+    cvalid = (col + tc - 1 >= 0) & (col + tc - 1 <= n - 1)
+    zv = jnp.where((lane < 9) & rvalid & cvalid, 1.0,
+                   jnp.where(lane == 9, 1.0, 0.0)).astype(jnp.float32)
+    bias_term = jnp.dot(zv.reshape(g * n * n, 16), wb_ref[:],
+                        preferred_element_type=jnp.float32)
+    y = jnp.maximum(acc.astype(jnp.float32) * sv_ref[0] + bias_term,
+                    0.0).astype(dt)
+    o_ref[:] = _phase_maxpool(y.reshape(g, n, n, 256))
+
+
+def stem_s2d_int8_pallas(s4, w7, scale, bias, out_dtype=jnp.bfloat16,
+                         zbuild: str = "two"):
+    """int8 fused stem on RAW uint8 4x4 space-to-depth input
+    [N, H/4, W/4, 48] (see _stem_kernel_i8). Weight-only quantization:
+    the normalize affine's scale folds into the per-output-channel
+    quantized weights, its bias (and the conv's edge handling) into the
+    validity-bias rows — no activation calibration needed."""
+    nt, n, n2, c48 = s4.shape
+    assert c48 == 48 and n == n2 and s4.dtype == jnp.uint8, (
+        s4.shape, s4.dtype)
+    from .preprocess import _affine_consts
+    from .tsm_block_int8_pallas import quantize_weight
+
+    a3, b3 = _affine_consts(jnp.float32)
+    a48 = jnp.tile(a3, 16)
+    bp48 = a48 * 128.0 + jnp.tile(b3, 16)  # normalize(128) per channel
+
+    w2 = _stem_weight_im2col(w7, jnp.float32)  # [432, 256]
+    wfold = w2 * jnp.tile(a48, 9)[:, None]
+    wq, sw = quantize_weight(wfold)
+    s_bn = jnp.tile(jnp.asarray(scale, jnp.float32).reshape(64), 4)
+    b_bn = jnp.tile(jnp.asarray(bias, jnp.float32).reshape(64), 4)
+    sv = (sw * s_bn).reshape(1, 256)
+    # wb rows 0..8: tap t's bias contribution sum_ch w2[t*48+ch, :] *
+    # normalize(128)[ch], BN-scaled; row 9: the BN bias
+    wb9 = jnp.einsum("tkc,k->tc", w2.reshape(9, 48, 256), bp48) * s_bn
+    wb = jnp.zeros((16, 256), jnp.float32)
+    wb = wb.at[:9].set(wb9).at[9].set(b_bn)
+
+    g = 4
+    while nt % g:
+        g //= 2
+    out = pl.pallas_call(
+        functools.partial(_stem_kernel_i8, zbuild=zbuild),
+        out_shape=jax.ShapeDtypeStruct((nt, n, n, 64), out_dtype),
+        grid=(nt // g,),
+        in_specs=[
+            pl.BlockSpec((g, n, n, 48), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((432, 256), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 256), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 256), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, n, n, 64), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("parallel",),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(s4, wq, sv, wb)
+    return out
+
+
 def bn_relu_maxpool_reference(x, scale, bias):
     """Pure-XLA reference (tests + non-TPU fallback): torch-semantics
     MaxPool2d(3, 2, padding=1) on relu(x*scale+bias)."""
