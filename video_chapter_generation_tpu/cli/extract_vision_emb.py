@@ -24,6 +24,9 @@ def main(argv=None):
         i = argv.index("--out_dir")
         out_dir = argv[i + 1]
         del argv[i : i + 2]
+    int8 = "--int8" in argv
+    if int8:
+        argv.remove("--int8")
 
     cfg, args = parse_config(argv, "extract vision embeddings")
     with open(cfg.data.test_clips_json) as f:
@@ -50,6 +53,21 @@ def main(argv=None):
     variables = jax.jit(
         lambda: model.init(jax.random.PRNGKey(0), x0, train=False)
     )()
+    if int8 and s2d:
+        # opt-in W8A8 trunk (PERF.md round 3): calibrate activation
+        # scales on the first real clip batch, then serve quantized
+        import numpy as np
+
+        from ..data.frames import load_clip_frames
+        from ..ops.quantize import calibrate_tsm_quant
+
+        ncal = min(len(clips), cfg.data.batch_size)
+        cal = np.stack([
+            load_clip_frames(clips[i].image_paths, hw, s2d=True)
+            for i in range(ncal)])
+        scales = calibrate_tsm_quant(model, variables, cal)
+        model = model.clone(quantize=True)
+        variables = {**variables, "quant": scales}
     embed_fn = make_vision_embed_fn(model, variables)
 
     count = 0

@@ -873,6 +873,7 @@ class Resnet50TSM(nn.Module):
     fuse_tsm: bool = True
     tsm_impl: Any = "auto"
     stem_input: str = "frames"  # see ResNet.stem_input
+    quantize: bool = False  # opt-in W8A8 trunk, see ResNet.quantize
     stage_sizes: Optional[Sequence[int]] = None  # tiny variants for tests
     dtype: Any = jnp.float32
 
@@ -880,7 +881,7 @@ class Resnet50TSM(nn.Module):
         self.base_model = ResNet(
             depth=50, n_segment=self.segments_size, n_div=self.shift_div,
             fuse_tsm=self.fuse_tsm, tsm_impl=self.tsm_impl,
-            stem_input=self.stem_input,
+            stem_input=self.stem_input, quantize=self.quantize,
             stage_sizes=self.stage_sizes, dtype=self.dtype,
         )
         if self.with_head:

@@ -129,3 +129,26 @@ def calibrate_resnet_quant(model, variables, frames,
 
     out = jax.jit(collect)(variables, frames)
     return jax.tree_util.tree_map(np.asarray, out)
+
+
+def calibrate_tsm_quant(model50, variables, clips_u8,
+                        max_pct: Optional[float] = None) -> Dict[str, Any]:
+    """Calibration for the Resnet50TSM wrapper: clips_u8 [B, T, ...]
+    uint8 (s2d pack or frames, matching model50.stem_input) -> the
+    "quant" collection nested for the wrapper's variable tree
+    ({"base_model": {...}}). Pair with model50.clone(quantize=True) and
+    apply({**variables, "quant": scales}, ...)."""
+    import jax.numpy as jnp
+
+    from ..models.resnet import ResNet
+
+    inner = ResNet(
+        depth=50, n_segment=model50.segments_size,
+        n_div=model50.shift_div, fuse_tsm=model50.fuse_tsm,
+        tsm_impl=model50.tsm_impl, stem_input=model50.stem_input,
+        stage_sizes=model50.stage_sizes, dtype=model50.dtype)
+    sub = {"params": variables["params"]["base_model"],
+           "batch_stats": variables["batch_stats"]["base_model"]}
+    flat = jnp.asarray(clips_u8).reshape(-1, *clips_u8.shape[2:])
+    scales = calibrate_resnet_quant(inner, sub, flat, max_pct=max_pct)
+    return {"base_model": scales}
