@@ -103,9 +103,13 @@ def test_int8_halo_fpad_layer1_shape():
 
 
 @pytest.mark.parametrize("sizes,expected", [
-    ((1, 2, 2, 2), {"layer2_block1", "layer3_block1", "layer4_block1"}),
-    # layer1 plains quantize too (F=64, fpad/halo form)
-    ((2, 2, 1, 1), {"layer1_block1", "layer2_block1"}),
+    # block0 scales are emitted for every stage (the int8 s2 kernels of
+    # quantized stages use them; layer1's are unused but harmless)
+    ((1, 2, 2, 2), {"layer1_block0", "layer2_block0", "layer2_block1",
+                    "layer3_block0", "layer3_block1", "layer4_block0",
+                    "layer4_block1"}),
+    ((2, 2, 1, 1), {"layer1_block0", "layer1_block1", "layer2_block0",
+                    "layer2_block1", "layer3_block0", "layer4_block0"}),
 ])
 def test_int8_model_calibrate_and_apply(monkeypatch, sizes, expected):
     import video_chapter_generation_tpu.models.resnet as rn
@@ -114,6 +118,9 @@ def test_int8_model_calibrate_and_apply(monkeypatch, sizes, expected):
     )
 
     monkeypatch.setattr(rn, "FORCE_WHOLE_BLOCKS", True)
+    # exercise the full int8 graph incl. the measured-slower s2 block0s
+    # + int8-planar tails (off by default on perf grounds)
+    monkeypatch.setattr(rn, "INT8_S2_BLOCKS", True)
     model = rn.ResNet(stage_sizes=sizes, n_segment=2,
                       tsm_impl="fusedall", dtype=jnp.float32)
     rng = np.random.default_rng(3)
@@ -141,6 +148,64 @@ def test_int8_model_calibrate_and_apply(monkeypatch, sizes, expected):
     out_sat = np.asarray(
         qmodel.apply({**variables, "quant": ones}, frames))
     assert not np.allclose(out_sat, out)
+
+
+def _pair_merge(x):
+    nt, h, w, c = x.shape
+    return x.reshape(nt, h, w // 2, 2 * c)
+
+
+@pytest.mark.parametrize("xdt,mode", [
+    ("i8", "i8"), ("bf16", "i8"), ("i8", "bf16")])
+def test_int8_s2_planar_kernel_matches_integer_spec(xdt, mode):
+    from video_chapter_generation_tpu.ops.tsm_block_int8_pallas import (
+        int8_s2_bottleneck_reference,
+        tsm_bottleneck_s2_planar_int8_pallas,
+    )
+
+    rng = np.random.default_rng(20)
+    b, t, h, w, c, f = 2, 4, 8, 8, 256, 128
+    nt = b * t
+    mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.05, jnp.float32)
+    aff = lambda n: (jnp.asarray(rng.normal(size=(n,)) * 0.1 + 1.0),
+                     jnp.asarray(rng.normal(size=(n,)) * 0.1))
+    w1, w2, w3 = mk(c, f), mk(3, 3, f, f), mk(f, 4 * f)
+    wp = mk(c, 4 * f)
+    (s1, b1), (s2, b2) = aff(f), aff(f)
+    (s3, b3), (sp, bp) = aff(4 * f), aff(4 * f)
+    scales = jnp.asarray([0.05, 0.03, 0.02, 0.05], jnp.float32)
+    if xdt == "i8":
+        x = jnp.asarray(rng.integers(-127, 128, (nt, h, w, c)), jnp.int8)
+    else:
+        x = jnp.asarray(rng.normal(size=(nt, h, w, c)), jnp.bfloat16)
+    out = tsm_bottleneck_s2_planar_int8_pallas(
+        _pair_merge(x), w1, w2, w3, s1, b1, s2, b2, s3, b3, wp, sp, bp,
+        scales, t, out_mode=mode, out_dtype=jnp.float32, rows=2)
+    ref_f, ref_q = int8_s2_bottleneck_reference(
+        x, w1, w2, w3, s1, b1, s2, b2, s3, b3, wp, sp, bp, scales, t)
+    if mode == "i8":
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_q))
+    else:
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref_f), atol=2e-5)
+
+
+def test_int8_flat_planar_i8_out():
+    """The stage tail's int8-planar emission: pair-merged int8 equal to
+    the integer spec's requantized output, reordered."""
+    (nt, h, w, c, f), args = _block_inputs(seed=21, w=8)
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.integers(-127, 128, (nt, h, w, c)), jnp.int8)
+    out = tsm_bottleneck_int8_pallas(x, *args[:-1], args[-1],
+                                     out_mode="planar_i8")
+    _, ref_q = int8_bottleneck_reference(x, *args[:-1], args[-1])
+    un = out.reshape(nt, h, w // 2, 2, c).reshape(nt, h, w, c)
+    # XLA contracts the f32 epilogue differently for the pair-merged
+    # consumer shape: a handful of requant-boundary values flip by one
+    # quantum (measured 20/262144) — allow +-1 on a tiny fraction
+    diff = np.abs(np.asarray(un, np.int32) - np.asarray(ref_q, np.int32))
+    assert diff.max() <= 1, diff.max()
+    assert (diff != 0).mean() < 1e-3, (diff != 0).mean()
 
 
 def test_int8_stem_matches_bf16_stem():

@@ -38,6 +38,13 @@ STAGE_SIZES = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 # an all-pallas trunk removes every XLA-conv<->custom-call layout copy)
 AUTO_TSM_IMPL = ("fusedall", "fusedall", "fusedall", "fusedall")
 
+# A/B hook: int8 stride-2 block0s + int8-planar tail emission under
+# quantize=True. MEASURED SLOWER on v5e (PERF.md round 3: L2 block0
+# 8.35 ms vs 2.95 bf16 — the f32 tap-build byte traffic at full input
+# resolution dominates where conv1 runs pre-stride) — kernels + tests
+# remain; model-level tests force this on.
+INT8_S2_BLOCKS = False
+
 # test hook: exercise the whole-block kernels (interpret mode) off-TPU
 FORCE_WHOLE_BLOCKS = False
 
@@ -278,6 +285,10 @@ class Bottleneck(nn.Module):
     # in the "quant" variables collection (ops/quantize.py calibration).
     quant: bool = False
     quant_last: bool = False
+    # this stride-2 planar block0 runs the int8 s2 kernel
+    quant_s2: bool = False
+    # the NEXT stage's block0 is int8: the tail emits int8 planar
+    quant_next: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -308,6 +319,8 @@ class Bottleneck(nn.Module):
             # fused stride-2 consumer understands that layout (ResNet
             # plans the chain so both ends agree)
             assert self.stride == 2 and self.projection
+            if self.quant_s2 and use_ra:
+                return self._whole_block_s2_int8(x)
             return self._whole_block(x, use_ra)
         if self.quant and use_ra:
             assert self.stride == 1 and not self.projection
@@ -446,11 +459,45 @@ class Bottleneck(nn.Module):
         scales = self.variable(
             "quant", "act_scales",
             lambda: jnp.ones((4,), jnp.float32)).value
-        out_mode = ("planar" if self.planar_out
+        out_mode = ("planar_i8" if (self.planar_out and self.quant_next)
+                    else "planar" if self.planar_out
                     else "bf16" if self.quant_last else "i8")
         return tsm_bottleneck_int8_pallas(
             x, w1, w2, w3, s1, b1, s2, b2, s3, b3, scales,
             self.n_segment, self.n_div, out_mode=out_mode,
+            out_dtype=self.dtype)
+
+    def _whole_block_s2_int8(self, x):
+        """W8A8 stride-2 planar block0 (ops/tsm_block_int8_pallas.py
+        _kernel_s2_planar_i8): consumes the previous stage tail's planar
+        emission (int8 when that stage was quantized, bf16 from layer 1),
+        emits int8 for the stage's entry plain block."""
+        from ..ops.tsm_block_int8_pallas import (
+            tsm_bottleneck_s2_planar_int8_pallas,
+        )
+
+        f = self.features
+        c = x.shape[-1] // 2
+        w1 = _ConvKernel((1, 1, c, f), name="conv1")()
+        w2 = _ConvKernel((3, 3, f, f), name="conv2")()
+        w3 = _ConvKernel((1, 1, f, 4 * f), name="conv3")()
+        wp = _ConvKernel((1, 1, c, 4 * f), name="proj_conv")()
+
+        def fold(bn_name, n):
+            scale, bias, mean, var = _BNParams(n, name=bn_name)()
+            s = scale * jax.lax.rsqrt(var + 1e-5)
+            return s, bias - mean * s
+
+        s1, b1 = fold("bn1", f)
+        s2, b2 = fold("bn2", f)
+        s3, b3 = fold("bn3", 4 * f)
+        sp, bp = fold("proj_bn", 4 * f)
+        scales = self.variable(
+            "quant", "act_scales",
+            lambda: jnp.ones((4,), jnp.float32)).value
+        return tsm_bottleneck_s2_planar_int8_pallas(
+            x, w1, w2, w3, s1, b1, s2, b2, s3, b3, wp, sp, bp, scales,
+            self.n_segment, self.n_div, out_mode="i8",
             out_dtype=self.dtype)
 
     def _whole_block_train(self, x):
@@ -735,24 +782,27 @@ class ResNet(nn.Module):
                 )
                 hs, ws = hs // 2, ws // 2
 
+        # W8A8 chains (layers 2-4 only: layer 1's F=64 pads to 128 lanes
+        # and the doubled f32 im2col/requant VPU work made its int8 halo
+        # kernel a wash or worse — 3.70/3.42 ms vs 3.20/3.45 bf16,
+        # PERF.md round 3). Per quantized stage: the stride-2 planar
+        # block0 runs int8 (consuming the previous tail's planar
+        # emission — int8 when that stage was quantized too, bf16 from
+        # layer 1), interior plain blocks pass int8 activations, and the
+        # tail emits bf16 (or int8 planar when the next block0 is int8).
+        quant_stages = [
+            self.quantize and use_ra and stage > 0
+            and from_stage == 0 and capture is None
+            and sizes[stage] >= 2
+            and self.n_segment > 0 and self.fuse_tsm
+            and (jax.default_backend() == "tpu" or FORCE_WHOLE_BLOCKS)
+            for stage in range(len(sizes))
+        ]
         for stage, num_blocks in enumerate(sizes):
             if stage + 1 <= from_stage:
                 continue
             features = 64 * (2**stage)
-            # W8A8 chain for this stage's plain blocks (layers 2-4 only:
-            # layer 1's F=64 pads to 128 lanes and the doubled f32
-            # im2col/requant VPU work made its int8 halo kernel a wash or
-            # worse — 3.70/3.42 ms vs 3.20/3.45 bf16, PERF.md round 3).
-            # Entry block takes the block0's bf16 output and quantizes
-            # in-kernel; interior blocks pass int8 activations; the tail
-            # emits bf16 (planar when linked).
-            quant_stage = (
-                self.quantize and use_ra and stage > 0
-                and from_stage == 0 and capture is None
-                and num_blocks >= 2
-                and self.n_segment > 0 and self.fuse_tsm
-                and (jax.default_backend() == "tpu" or FORCE_WHOLE_BLOCKS)
-            )
+            quant_stage = quant_stages[stage]
             for block in range(num_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 impl, impl_train = impl_for(stage)
@@ -795,6 +845,13 @@ class ResNet(nn.Module):
                                and links[stage - 1]),
                     quant=quant_stage and block > 0,
                     quant_last=quant_stage and block == num_blocks - 1,
+                    quant_s2=(INT8_S2_BLOCKS and quant_stage
+                              and block == 0 and stage > 0
+                              and links[stage - 1]),
+                    quant_next=(INT8_S2_BLOCKS
+                                and stage + 1 < len(sizes)
+                                and links[stage]
+                                and quant_stages[stage + 1]),
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{block}",
                 )(y, train, bn_batch_stats)

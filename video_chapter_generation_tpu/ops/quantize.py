@@ -105,14 +105,23 @@ def calibrate_resnet_quant(model, variables, frames,
         model.apply(variables, frames, capture=capture)
         params = variables["params"]
         stats = variables["batch_stats"]
+        eps0 = 1e-6
         out: Dict[str, Any] = {}
         for stage in range(len(sizes)):  # all stages with plain blocks
             x = capture["stem"] if stage == 0 else capture[f"stage{stage}"]
             name0 = f"layer{stage + 1}_block0"
-            x = _block_forward(x, params[name0], stats[name0],
-                               2 if stage > 0 else 1, True,
-                               model.n_segment, model.n_div)
-            sx = _amax(x, max_pct) / 127.0
+            sx0 = _amax(x, max_pct) / 127.0
+            x, (a1, a2, ao) = _block_forward(
+                x, params[name0], stats[name0],
+                2 if stage > 0 else 1, True,
+                model.n_segment, model.n_div, pct=max_pct, collect=True)
+            # the stride-2 block0's own scales (int8 s2 kernel); its
+            # sout IS the entry plain block's sx (same tensor)
+            out[name0] = {"act_scales": jnp.stack([
+                jnp.maximum(sx0, eps0), jnp.maximum(a1 / 127.0, eps0),
+                jnp.maximum(a2 / 127.0, eps0),
+                jnp.maximum(ao / 127.0, eps0)])}
+            sx = ao / 127.0
             for blk in range(1, sizes[stage]):
                 name = f"layer{stage + 1}_block{blk}"
                 x, (a1, a2, ao) = _block_forward(

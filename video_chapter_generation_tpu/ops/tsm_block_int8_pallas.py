@@ -145,6 +145,11 @@ def _kernel_flat_i8(x_ref, w1q_ref, w1h_ref, w2q_ref, w3q_ref, a1_ref,
     elif out_mode == "planar":
         v = out.astype(o_ref.dtype).reshape(g, t, h, w, c)
         o_ref[:] = v.reshape(g, t, h, w // 2, 2 * c)
+    elif out_mode == "planar_i8":
+        # pair-merge in f32 (the legal natural-layout direction), THEN
+        # requant — the next stage's int8 stride-2 block0 consumes this
+        v = out.reshape(g, t, h, w, c).reshape(g, t, h, w // 2, 2 * c)
+        o_ref[:] = _rq(v, sc_ref[0, 3])
     else:
         o_ref[:] = out.astype(o_ref.dtype).reshape(g, t, h, w, c)
 
@@ -240,6 +245,193 @@ def _kernel_halo_i8(x_ref, top_ref, bot_ref, w1q_ref, w1h_ref, w2q_ref,
         o_ref[0] = pm
     else:
         o_ref[0] = out.astype(o_ref.dtype).reshape(t, r, w, c)
+
+
+def _kernel_s2_planar_i8(x_ref, top_ref, w1q_ref, w1h_ref, w2q_ref,
+                         w3q_ref, wpq_ref, a1_ref, b1_ref, a2_ref, b2_ref,
+                         a3_ref, b3_ref, ap_ref, bp_ref, sc_ref, o_ref, *,
+                         fold: int, x_i8: bool, out_mode: str):
+    """W8A8 stride-2 projection bottleneck on PAIR-MERGED column input —
+    the int8 twin of tsm_block_pallas._kernel_s2_planar (same planar
+    even/odd tap selection; see its docstring for the layout reasoning).
+
+    x_ref [1,T,2R,Wh,2C] int8 (or bf16 at the L2 entry, quantized here);
+    the projection residual reuses the SAME quantized input (no extra
+    activation scale). a2_ref [3, F] per-(row-tap, channel) dequant."""
+    t, r2, wh, c2 = (x_ref.shape[1], x_ref.shape[2], x_ref.shape[3],
+                     x_ref.shape[4])
+    c = c2 // 2
+    r = r2 // 2
+    f = w1q_ref.shape[1]
+    c_out = o_ref.shape[-1]
+    sx = sc_ref[0, 0]
+
+    def quant(v):
+        if x_i8:
+            return v
+        return _rq(v.astype(jnp.float32), 1.0 / sx)
+
+    def c1(xq):
+        """int8 conv1 + temporal-shift correction on one QUANTIZED
+        [T,R',Wh,C] plane -> f32 [T,R',Wh,F] (_kernel_halo_i8 algebra)."""
+        tt, rr = xq.shape[0], xq.shape[1]
+        mm = tt * rr * wh
+        acc = jnp.dot(xq.reshape(mm, c), w1q_ref[:],
+                      preferred_element_type=jnp.int32)
+        x2 = xq[..., : 2 * fold]
+        z2 = jnp.zeros_like(x2[:1])
+        nxt = jnp.concatenate([x2[1:], z2], axis=0)
+        prv = jnp.concatenate([z2, x2[: tt - 1]], axis=0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 2 * fold), 3)
+        sel = jnp.where(lane < fold, nxt, prv).reshape(mm, 2 * fold)
+        acc += jnp.dot(sel, w1h_ref[:], preferred_element_type=jnp.int32)
+        acc -= jnp.dot(x2.reshape(mm, 2 * fold), w1h_ref[:],
+                       preferred_element_type=jnp.int32)
+        y = jnp.maximum(
+            acc.astype(jnp.float32) * a1_ref[:] + b1_ref[:], 0.0)
+        return y.reshape(tt, rr, wh, f)
+
+    j = pl.program_id(1)
+    edge = jnp.where(j == 0, 0.0, 1.0)
+    x = x_ref[0]
+    top = top_ref[0]
+    # quantize each plane ONCE (the even plane also feeds the residual)
+    xq_even, xq_odd = quant(x[..., :c]), quant(x[..., c:])
+    tq_even, tq_odd = quant(top[..., :c]), quant(top[..., c:])
+    y1e = jnp.concatenate([edge * c1(tq_even), c1(xq_even)], axis=1)
+    y1o = jnp.concatenate([edge * c1(tq_odd), c1(xq_odd)], axis=1)
+
+    def row_taps(y1):
+        ye = y1[:, : 2 * r].reshape(t, r, 2, wh, f)
+        return (
+            ye[:, :, 0],
+            ye[:, :, 1],
+            (jnp.concatenate([ye[:, 1:, 0], y1[:, 2 * r: 2 * r + 1]],
+                             axis=1)
+             if r > 1 else y1[:, 2: 3]),
+        )
+
+    taps_e = row_taps(y1e)
+    taps_o = row_taps(y1o)
+    m2 = t * r * wh
+    zc = jnp.zeros((t, r, 1, f), jnp.float32)
+    acc = None
+    for dr in (1, 0, 2):
+        ce, co = taps_e[dr], taps_o[dr]
+        tap_l = jnp.concatenate([zc, co[:, :, :-1]], axis=2)
+        zq = _rq(jnp.concatenate([tap_l, ce, co], axis=-1), sc_ref[0, 1])
+        d = (jnp.dot(zq.reshape(m2, 3 * f), w2q_ref[dr],
+                     preferred_element_type=jnp.int32).astype(jnp.float32)
+             * a2_ref[dr])
+        acc = d if acc is None else acc + d
+    y2q = _rq(jnp.maximum(acc + b2_ref[:], 0.0), sc_ref[0, 2])
+    acc3 = jnp.dot(y2q, w3q_ref[:], preferred_element_type=jnp.int32)
+    y3 = (acc3.astype(jnp.float32) * a3_ref[:]
+          + b3_ref[:]).reshape(t, r, wh, c_out)
+    # stride-2 projection: even plane at even rows, SAME quantized input
+    xpe = xq_even.reshape(t, r, 2, wh, c)[:, :, 0]
+    accp = jnp.dot(xpe.reshape(m2, c), wpq_ref[:],
+                   preferred_element_type=jnp.int32)
+    res = (accp.astype(jnp.float32) * ap_ref[:]
+           + bp_ref[:]).reshape(t, r, wh, c_out)
+    out = jnp.maximum(y3 + res, 0.0)
+    if out_mode == "i8":
+        o_ref[0] = _rq(out, sc_ref[0, 3])
+    else:
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def tsm_bottleneck_s2_planar_int8_pallas(xpm, w1, w2, w3, s1, b1, s2, b2,
+                                         s3, b3, wp, sp, bp, act_scales,
+                                         n_segment: int, n_div: int = 8,
+                                         out_mode: str = "i8",
+                                         out_dtype=jnp.bfloat16,
+                                         rows: int = 0):
+    """W8A8 pair-merged-input fused stride-2 downsample bottleneck:
+    xpm [N*T, H, W/2, 2C] int8 (interior; scale act_scales[0]) or
+    bf16/f32 (stage entry) -> [N*T, H/2, W/2, Cout] int8 (out_mode='i8')
+    or out_dtype. Mirrors tsm_bottleneck_s2_planar_pallas's tiling."""
+    nt, h, wh, c2 = xpm.shape
+    c = c2 // 2
+    t = n_segment
+    b = nt // t
+    w1 = w1.reshape(c, -1)
+    f = w1.shape[1]
+    assert f % 128 == 0, f
+    w3 = w3.reshape(f, -1)
+    c_out = w3.shape[1]
+    fold = c // n_div
+
+    w1q, sw1 = quantize_weight(w1)
+    w2r = w2.reshape(3, 3 * f, f)  # dr-major, K = (left, center, right)
+    w2flat = jnp.concatenate([w2r[0], w2r[1], w2r[2]], axis=1)
+    w2q, sw2 = quantize_weight(w2flat)
+    w2q_taps = jnp.stack([w2q[:, i * f: (i + 1) * f] for i in range(3)])
+    w3q, sw3 = quantize_weight(w3)
+    wpq, swp = quantize_weight(wp.reshape(c, c_out))
+
+    sc = jnp.asarray(act_scales, jnp.float32).reshape(-1)
+    sx, sz, sy2, sout = sc[0], sc[1], sc[2], sc[3]
+    vec = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
+    a1 = vec(sx * sw1 * jnp.asarray(s1, jnp.float32))
+    b1v = vec(b1)
+    s2f = jnp.asarray(s2, jnp.float32)
+    a2 = (sz * sw2 * jnp.concatenate([s2f, s2f, s2f])).reshape(3, f)
+    b2v = vec(b2)
+    a3 = vec(sy2 * sw3 * jnp.asarray(s3, jnp.float32))
+    b3v = vec(b3)
+    ap = vec(sx * swp * jnp.asarray(sp, jnp.float32))
+    bpv = vec(bp)
+    scalars = jnp.zeros((1, 8), jnp.float32)
+    scalars = scalars.at[0, 0].set(sx)
+    scalars = scalars.at[0, 1].set(1.0 / sz)
+    scalars = scalars.at[0, 2].set(1.0 / sy2)
+    scalars = scalars.at[0, 3].set(1.0 / sout)
+
+    x_i8 = xpm.dtype == jnp.int8
+    if not rows:
+        from .tsm_block_pallas import _pick_rows_s2
+
+        # same tile geometry as the bf16 kernel (es=2): the f32 y1/z
+        # intermediates dominate the VMEM working set either way
+        rows = _pick_rows_s2(h, 2 * wh, c, c_out, t, 2)
+    assert h % (2 * rows) == 0, (h, rows)
+    n_tiles = h // (2 * rows)
+    x5 = xpm.reshape(b, t, h, wh, c2)
+    idx = lambda i, j: (i, 0, j, 0, 0)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    odt = jnp.int8 if out_mode == "i8" else out_dtype
+    out = pl.pallas_call(
+        functools.partial(_kernel_s2_planar_i8, fold=fold, x_i8=x_i8,
+                          out_mode=out_mode),
+        out_shape=jax.ShapeDtypeStruct((b, t, h // 2, wh, c_out), odt),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, t, 2 * rows, wh, c2), idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, t, 1, wh, c2),
+                lambda i, j: (i, 0, jnp.maximum(j * 2 * rows - 1, 0),
+                              0, 0),
+                memory_space=pltpu.VMEM),
+            full((c, f)), full((2 * fold, f)), full((3, 3 * f, f)),
+            full((f, c_out)), full((c, c_out)),
+            full((1, f)), full((1, f)), full((3, f)), full((1, f)),
+            full((1, c_out)), full((1, c_out)),
+            full((1, c_out)), full((1, c_out)), full((1, 8)),
+        ],
+        out_specs=pl.BlockSpec((1, t, rows, wh, c_out), idx,
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x5, x5, w1q, w1q[: 2 * fold], w2q_taps, w3q, wpq,
+      a1, b1v, a2, b2v, a3, b3v, ap, bpv, scalars)
+    return out.reshape(nt, h // 2, wh, c_out)
 
 
 def tsm_bottleneck_int8_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
@@ -378,11 +570,11 @@ def tsm_bottleneck_int8_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
     if out_mode == "i8":
         out_shape, out_block = (b, t, h, w, c), (1, t, h, wp8, c)
         odt = jnp.int8
-    elif out_mode == "planar":
+    elif out_mode in ("planar", "planar_i8"):
         assert w % 2 == 0, w
         out_shape = (b, t, h, w // 2, 2 * c)
         out_block = (1, t, h, wp8 // 2, 2 * c)
-        odt = out_dtype
+        odt = jnp.int8 if out_mode == "planar_i8" else out_dtype
     else:
         out_shape, out_block = (b, t, h, w, c), (1, t, h, wp8, c)
         odt = out_dtype
@@ -412,6 +604,76 @@ def tsm_bottleneck_int8_pallas(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
     )(x5, w1q, w1q[: 2 * fold], w2q, w3q,
       a1, b1v, a2, b2v, a3, b3v, scalars)
     return out.reshape(nt, *out.shape[2:])
+
+
+def int8_s2_bottleneck_reference(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
+                                 wp, sp, bp, act_scales, n_segment: int,
+                                 n_div: int = 8):
+    """Pure-jnp integer spec of the stride-2 planar kernel, on the
+    UN-merged spatial input x [NT, H, W, C] (int8 or float) ->
+    (out_f32 [NT, H/2, W/2, Cout], out_i8). Tap-sum order matches the
+    kernel exactly (dr 1, 0, 2) for bit-parity in interpret mode."""
+    from .temporal_shift import temporal_shift
+
+    nt, h, w, c = x.shape
+    w1 = w1.reshape(c, -1)
+    f = w1.shape[1]
+    w3 = w3.reshape(f, -1)
+    c_out = w3.shape[1]
+    sc = jnp.asarray(act_scales, jnp.float32).reshape(-1)
+    sx, sz, sy2, sout = sc[0], sc[1], sc[2], sc[3]
+
+    w1q, sw1 = quantize_weight(w1)
+    w2r = w2.reshape(3, 3 * f, f)
+    w2flat = jnp.concatenate([w2r[0], w2r[1], w2r[2]], axis=1)
+    w2q, sw2 = quantize_weight(w2flat)
+    w3q, sw3 = quantize_weight(w3)
+    wpq, swp = quantize_weight(wp.reshape(c, c_out))
+
+    if x.dtype == jnp.int8:
+        xq = x
+    else:
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+    xs = temporal_shift(xq.astype(jnp.int32), n_segment, n_div)
+    acc1 = jnp.einsum("nhwc,cf->nhwf", xs, w1q.astype(jnp.int32))
+    y1 = jnp.maximum(
+        acc1.astype(jnp.float32)
+        * (sx * sw1 * jnp.asarray(s1, jnp.float32))
+        + jnp.asarray(b1, jnp.float32), 0.0)
+
+    ho, wo = h // 2, w // 2
+    y1p = jnp.pad(y1, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    s2f = jnp.asarray(s2, jnp.float32)
+    a2 = (sz * sw2 * jnp.concatenate([s2f, s2f, s2f])).reshape(3, f)
+    acc = None
+    for dr in (1, 0, 2):
+        rowsel = y1p[:, dr: dr + 2 * ho: 2]   # padded rows 2r+dr
+        z = jnp.concatenate(
+            [rowsel[:, :, 0: 2 * wo: 2],      # col 2w-1 (padded)
+             rowsel[:, :, 1: 2 * wo + 1: 2],  # col 2w
+             rowsel[:, :, 2: 2 * wo + 2: 2]], axis=-1)
+        zq = jnp.clip(jnp.round(z / sz), -127, 127).astype(jnp.int8)
+        d = (jnp.einsum("nhwj,jk->nhwk", zq.astype(jnp.int32),
+                        w2q[:, dr * f: (dr + 1) * f].astype(jnp.int32))
+             .astype(jnp.float32) * a2[dr])
+        acc = d if acc is None else acc + d
+    y2 = jnp.maximum(acc + jnp.asarray(b2, jnp.float32), 0.0)
+    y2q = jnp.clip(jnp.round(y2 / sy2), -127, 127).astype(jnp.int8)
+    acc3 = jnp.einsum("nhwf,fk->nhwk", y2q.astype(jnp.int32),
+                      w3q.astype(jnp.int32))
+    y3 = (acc3.astype(jnp.float32)
+          * (sy2 * sw3 * jnp.asarray(s3, jnp.float32))
+          + jnp.asarray(b3, jnp.float32))
+    accp = jnp.einsum("nhwc,ck->nhwk",
+                      xq[:, ::2, ::2].astype(jnp.int32),
+                      wpq.astype(jnp.int32))
+    res = (accp.astype(jnp.float32)
+           * (sx * swp * jnp.asarray(sp, jnp.float32))
+           + jnp.asarray(bp, jnp.float32))
+    out = jnp.maximum(y3 + res, 0.0)
+    outq = jnp.clip(jnp.round(out / sout), -127, 127).astype(jnp.int8)
+    return out, outq
 
 
 def int8_bottleneck_reference(x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
