@@ -79,7 +79,8 @@ def _build_two_stream_variables(model, score_batch):
     }
 
 
-def run_real(score_batch: int = 16, n_videos: int = N_VIDEOS):
+def run_real(score_batch: int = 16, n_videos: int = N_VIDEOS,
+             int8_titles: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -147,11 +148,22 @@ def run_real(score_batch: int = 16, n_videos: int = N_VIDEOS):
         lambda: s2s.init(jax.random.PRNGKey(3), enc0, jnp.ones_like(enc0),
                          enc0[:, :4])
     )()
+    if int8_titles:  # weight-only int8 serving (4x smaller title weights)
+        import dataclasses
+
+        from video_chapter_generation_tpu.ops.quantize import (
+            quantize_seq2seq,
+        )
+
+        s2s_vars = jax.jit(quantize_seq2seq)(s2s_vars)
+        s2s = Seq2Seq(dataclasses.replace(s2s_cfg, weight_quant=True),
+                      dtype=jnp.bfloat16)
     print(f"# title init {time.time()-t0:.0f}s", flush=True)
 
     @jax.jit
     def titles_jit(v, enc_ids, enc_mask):
-        ids_out, _ = generate(s2s, v, enc_ids, enc_mask, max_len=TITLE_OUT)
+        ids_out, _ = generate(s2s, v, enc_ids, enc_mask, max_len=TITLE_OUT,
+                              return_logits=False)
         return ids_out
 
     def raw_title_fn(enc_ids, enc_mask):
@@ -365,7 +377,8 @@ def main(argv=None):
     if "--videos" in argv:
         i = argv.index("--videos")
         n_videos = int(argv[i + 1])
-    return run_real(score_batch=batch, n_videos=n_videos)
+    return run_real(score_batch=batch, n_videos=n_videos,
+                    int8_titles="--int8-titles" in argv)
 
 
 if __name__ == "__main__":

@@ -68,6 +68,12 @@ def main(argv=None):
     sharded = "--sharded" in argv
     if sharded:
         argv.remove("--sharded")
+    # --int8_titles: weight-only int8 serving of the title model
+    # (ops.quantize.quantize_seq2seq; 4x smaller weights, int8->bf16
+    # convert fused into the decode matmuls — PERF.md round 3)
+    int8_titles = "--int8_titles" in argv
+    if int8_titles:
+        argv.remove("--int8_titles")
 
     cfg, args = parse_config(argv, "whole-pipeline per-video inference")
     corpus = load_corpus(cfg, "test")
@@ -100,6 +106,17 @@ def main(argv=None):
     # restores the best/latest title checkpoint from cfg.train.ckpt_dir
     # when one exists; random weights otherwise (smoke mode)
     variables = _restore(cfg, task)
+
+    if int8_titles:
+        import dataclasses
+
+        import jax
+
+        from ..ops.quantize import quantize_seq2seq
+
+        variables = jax.jit(quantize_seq2seq)(variables)
+        s2s_cfg = dataclasses.replace(s2s_cfg, weight_quant=True)
+        task.model = task.model.clone(cfg=s2s_cfg)
 
     decode = (functools.partial(beam_search, num_beams=num_beams)
               if num_beams > 1 else generate)

@@ -58,6 +58,19 @@ class Seq2SeqConfig:
     block_size: int = 64
     num_rand_blocks: int = 3
     num_global_blocks: int = 1
+    # serving: weight-only int8 (W8A16). Dense kernels + the tied shared
+    # table become int8 with per-output-channel scales (Int8Dense /
+    # Int8Embed); variables come from ops.quantize.quantize_seq2seq on a
+    # float checkpoint. Decode is weight-streaming-bound, so this ~halves
+    # the per-token device time vs bf16 params (PERF.md round 3).
+    weight_quant: bool = False
+    # serving: int8 cross-attention K/V cache. At real title buckets the
+    # decode step is bound by re-streaming the encoder K/V every token
+    # (B x 512 x d per layer pair — ~2/3 of the while-loop time at B=32,
+    # PERF.md round 3); int8 halves it. Scales are per (batch, head,
+    # channel), computed once per bucket in init_cache, and fold EXACTLY
+    # into q (keys) and ctx (values) — no extra elementwise passes.
+    kv_quant: bool = False
 
     @classmethod
     def pegasus_large(cls) -> "Seq2SeqConfig":
@@ -108,27 +121,46 @@ def sinusoidal_positions(n_pos: int, dim: int) -> np.ndarray:
     return out
 
 
+def _dense_cls(cfg: "Seq2SeqConfig"):
+    """nn.Dense, or the weight-only-int8 serving replacement."""
+    if cfg.weight_quant:
+        from .quant_layers import Int8Dense
+
+        return Int8Dense
+    return nn.Dense
+
+
 class MultiHeadAttention(nn.Module):
     cfg: Seq2SeqConfig
     dtype: Any = jnp.float32
 
     def setup(self):
         d = self.cfg.d_model
-        self.q_proj = nn.Dense(d, dtype=self.dtype)
-        self.k_proj = nn.Dense(d, dtype=self.dtype)
-        self.v_proj = nn.Dense(d, dtype=self.dtype)
-        self.out_proj = nn.Dense(d, dtype=self.dtype)
+        dense = _dense_cls(self.cfg)
+        self.q_proj = dense(d, dtype=self.dtype)
+        self.k_proj = dense(d, dtype=self.dtype)
+        self.v_proj = dense(d, dtype=self.dtype)
+        self.out_proj = dense(d, dtype=self.dtype)
 
     def __call__(self, q_in, kv_in, bias=None, deterministic=True,
                  cached_kv: Optional[Tuple] = None):
         """bias: additive attention bias broadcastable to [B,H,Q,K].
-        cached_kv: precomputed (k, v) [B,K,H,hd]."""
+        cached_kv: precomputed (k, v) [B,K,H,hd], or the int8 form
+        (k_q, k_scale, v_q, v_scale) from project_kv (cfg.kv_quant) with
+        scales [B,1,H,hd]."""
         cfg = self.cfg
         h, hd = cfg.num_heads, cfg.d_model // cfg.num_heads
         q = self.q_proj(q_in).reshape(*q_in.shape[:-1], h, hd)
+        v_scale = None
         if cached_kv is None:
             k = self.k_proj(kv_in).reshape(*kv_in.shape[:-1], h, hd)
             v = self.v_proj(kv_in).reshape(*kv_in.shape[:-1], h, hd)
+        elif len(cached_kv) == 4:
+            # int8 cache: fold the key scales into q (exact — scores are
+            # linear in k per channel), so the einsum streams int8 keys
+            k, k_scale, v, v_scale = cached_kv
+            q = q * k_scale.astype(q.dtype)
+            k = k.astype(q.dtype)
         else:
             k, v = cached_kv
 
@@ -136,7 +168,10 @@ class MultiHeadAttention(nn.Module):
         if bias is not None:
             att = att + bias
         att = jax.nn.softmax(att, axis=-1)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", att, v)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", att, v.astype(att.dtype))
+        if v_scale is not None:
+            # value scales fold into ctx AFTER the reduction (exact)
+            ctx = ctx * v_scale.astype(ctx.dtype)
         ctx = ctx.reshape(*q_in.shape[:-1], cfg.d_model)
         return self.out_proj(ctx)
 
@@ -171,8 +206,9 @@ class FFN(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.fc1 = nn.Dense(self.cfg.ffn_dim, dtype=self.dtype)
-        self.fc2 = nn.Dense(self.cfg.d_model, dtype=self.dtype)
+        dense = _dense_cls(self.cfg)
+        self.fc1 = dense(self.cfg.ffn_dim, dtype=self.dtype)
+        self.fc2 = dense(self.cfg.d_model, dtype=self.dtype)
         self.drop = nn.Dropout(self.cfg.dropout)
 
     def __call__(self, x, deterministic=True):
@@ -299,6 +335,27 @@ def _mask_bias(mask, dtype):
     return (1.0 - mask[:, None, None, :].astype(dtype)) * -1e9
 
 
+def quantize_kv(k, v):
+    """int8-quantize cached K/V heads [B, T, H, hd] with per-(batch,
+    head, channel) scales (amax over the T key positions). The scales
+    fold exactly into the attention math (keys: into q before the score
+    einsum; values: into ctx after the value einsum), so the decode step
+    streams int8 — half the cross-cache HBM traffic that dominates
+    bucketed title decode (PERF.md round 3)."""
+
+    def quant(x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1,
+                       keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                     -127, 127).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
+
+    k_q, k_scale = quant(k)
+    v_q, v_scale = quant(v)
+    return k_q, k_scale, v_q, v_scale
+
+
 def _causal_bias(length, dtype):
     i = jnp.arange(length)[:, None]
     j = jnp.arange(length)[None, :]
@@ -313,8 +370,14 @@ class Seq2Seq(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.shared = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=self.dtype,
-                               name="shared")
+        if cfg.weight_quant:
+            from .quant_layers import Int8Embed
+
+            self.shared = Int8Embed(cfg.vocab_size, cfg.d_model,
+                                    dtype=self.dtype, name="shared")
+        else:
+            self.shared = nn.Embed(cfg.vocab_size, cfg.d_model,
+                                   dtype=self.dtype, name="shared")
         if cfg.learned_positions:
             self.enc_pos = nn.Embed(
                 cfg.max_positions + cfg.position_offset, cfg.d_model,
@@ -343,8 +406,8 @@ class Seq2Seq(nn.Module):
             self.dec_embed_ln = nn.LayerNorm(dtype=self.dtype,
                                              name="dec_embed_ln")
         if not cfg.tie_lm_head:
-            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
-                                    dtype=self.dtype, name="lm_head")
+            self.lm_head = _dense_cls(cfg)(cfg.vocab_size, use_bias=False,
+                                           dtype=self.dtype, name="lm_head")
         self.final_logits_bias = self.param(
             "final_logits_bias", nn.initializers.zeros, (cfg.vocab_size,)
         )
@@ -371,7 +434,10 @@ class Seq2Seq(nn.Module):
 
     def _head(self, hidden):
         if self.cfg.tie_lm_head:
-            logits = hidden @ self.shared.embedding.T.astype(self.dtype)
+            if self.cfg.weight_quant:
+                logits = self.shared.logits(hidden)
+            else:
+                logits = hidden @ self.shared.embedding.T.astype(self.dtype)
         else:
             logits = self.lm_head(hidden)
         # HF keeps final_logits_bias as an untrained buffer
@@ -430,7 +496,12 @@ class Seq2Seq(nn.Module):
                 jnp.zeros((batch, max_len, h, hd), self.dtype),
                 jnp.zeros((batch, max_len, h, hd), self.dtype),
             ))
-            cross_kvs.append(layer.encoder_attn.project_kv(enc_hidden))
+            kv = layer.encoder_attn.project_kv(enc_hidden)
+            if cfg.kv_quant:
+                # int8 cross cache (the self cache stays bf16: it is
+                # max_len positions — negligible traffic)
+                kv = quantize_kv(*kv)
+            cross_kvs.append(kv)
         return {"self": self_caches, "cross": cross_kvs}
 
     def decode_step(self, token, position, cache, enc_hidden, enc_mask,
@@ -484,6 +555,7 @@ def generate(
     top_k: Optional[int] = None,
     rng: Optional[jax.Array] = None,
     enc_hidden_override=None,
+    return_logits: bool = True,
 ):
     """Batched KV-cached generation (greedy / top-k / sampling).
 
@@ -492,6 +564,10 @@ def generate(
     stop at eos (here: full static loop with post-hoc masking — XLA needs
     static shapes; tokens after the first eos are replaced by eos).
     Returns (ids [B, max_len], logits [B, max_len, V]).
+
+    return_logits=False skips stacking the per-step full-vocab logits
+    (max_len x B x V — ~92 MB of HBM writes for a Pegasus-large title
+    bucket that the serving path never reads) and returns (ids, None).
     """
     cfg = model.cfg
 
@@ -526,13 +602,17 @@ def generate(
             nxt = jnp.argmax(scaled, axis=-1)
         nxt = jnp.where(done, cfg.eos_token_id, nxt).astype(jnp.int32)
         done = done | (nxt == cfg.eos_token_id)
-        return (nxt[:, None], cache, done, rng), (nxt, logits)
+        ys = (nxt, logits) if return_logits else nxt
+        return (nxt[:, None], cache, done, rng), ys
 
-    (_, _, _, _), (ids, logits) = jax.lax.scan(
+    (_, _, _, _), ys = jax.lax.scan(
         step,
         (start, cache, jnp.zeros((b,), bool), rng),
         jnp.arange(max_len),
     )
+    if not return_logits:
+        return ys.swapaxes(0, 1), None
+    ids, logits = ys
     return ids.swapaxes(0, 1), logits.swapaxes(0, 1)
 
 

@@ -161,3 +161,73 @@ def calibrate_tsm_quant(model50, variables, clips_u8,
     flat = jnp.asarray(clips_u8).reshape(-1, *clips_u8.shape[2:])
     scales = calibrate_resnet_quant(inner, sub, flat, max_pct=max_pct)
     return {"base_model": scales}
+
+
+def quantize_seq2seq(variables) -> Dict[str, Any]:
+    """Weight-only int8 transform of a float Seq2Seq variable tree.
+
+    Maps every 2-d Dense `kernel` to (`kernel_q` int8, `scale` f32
+    per-output-channel) and the tied `shared` embedding table to
+    (`embedding_q` int8, `scale` f32 per-vocab-row) — the param layout of
+    models/quant_layers.Int8Dense / Int8Embed. Everything else
+    (LayerNorms, biases, position tables, final_logits_bias) passes
+    through unchanged. Pair with a model built from
+    `dataclasses.replace(cfg, weight_quant=True)`.
+
+    Decode is weight-streaming-bound on TPU; int8 weights halve HBM
+    traffic vs bf16 (4x vs the f32 checkpoint layout) with the
+    int8->bf16 convert fused into the matmul (PERF.md round 3).
+
+    Only the Seq2Seq core is transformed (enc_layer*/dec_layer*/lm_head
+    kernels + the `shared` table, at any nesting depth) — sibling modules
+    in composed trees (Seq2SeqVisionEmb's VisionFusionHead, task heads)
+    keep float nn.Dense params, matching which modules actually switch to
+    Int8Dense under `weight_quant=True`.
+    """
+    from ..models.quant_layers import quantize_weight
+
+    def in_core(path):
+        return any(
+            p.startswith(("enc_layer", "dec_layer")) or p == "lm_head"
+            for p in path
+        )
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if (k == "kernel" and hasattr(v, "ndim") and v.ndim == 2
+                    and in_core(path)):
+                q, s = quantize_weight(v, axis=0)
+                out["kernel_q"] = q
+                out["scale"] = s
+            elif (k == "embedding" and path and path[-1] == "shared"
+                  and hasattr(v, "ndim") and v.ndim == 2):
+                q, s = quantize_weight(v, axis=1)
+                out["embedding_q"] = q
+                out["scale"] = s
+            else:
+                out[k] = walk(v, path + (k,))
+        return out
+
+    out = dict(variables)
+    out["params"] = walk(variables["params"], ())
+    return out
+
+
+def cast_serving_params(variables, dtype=jnp.bfloat16):
+    """Cast float params to a serving storage dtype (default bf16).
+
+    flax stores params in f32 by default (`param_dtype`) and converts at
+    apply time — so a bf16-compute model still STREAMS f32 weights from
+    HBM every decode step. For weight-streaming-bound serving this is a
+    free ~2x: cast the float leaves once at load. Integer leaves (int8
+    kernels, ids) pass through.
+    """
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.asarray(x, dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, variables)
