@@ -148,7 +148,7 @@ def run_real(score_batch: int = 16, n_videos: int = N_VIDEOS,
         lambda: s2s.init(jax.random.PRNGKey(3), enc0, jnp.ones_like(enc0),
                          enc0[:, :4])
     )()
-    if int8_titles:  # weight-only int8 serving (4x smaller title weights)
+    if int8_titles:  # int8 serving: weight-only kernels + cross-KV cache
         import dataclasses
 
         from video_chapter_generation_tpu.ops.quantize import (
@@ -156,8 +156,9 @@ def run_real(score_batch: int = 16, n_videos: int = N_VIDEOS,
         )
 
         s2s_vars = jax.jit(quantize_seq2seq)(s2s_vars)
-        s2s = Seq2Seq(dataclasses.replace(s2s_cfg, weight_quant=True),
-                      dtype=jnp.bfloat16)
+        s2s = Seq2Seq(
+            dataclasses.replace(s2s_cfg, weight_quant=True, kv_quant=True),
+            dtype=jnp.bfloat16)
     print(f"# title init {time.time()-t0:.0f}s", flush=True)
 
     @jax.jit

@@ -68,9 +68,11 @@ def main(argv=None):
     sharded = "--sharded" in argv
     if sharded:
         argv.remove("--sharded")
-    # --int8_titles: weight-only int8 serving of the title model
-    # (ops.quantize.quantize_seq2seq; 4x smaller weights, int8->bf16
-    # convert fused into the decode matmuls — PERF.md round 3)
+    # --int8_titles: int8 serving of the title model — weight-only int8
+    # kernels (ops.quantize.quantize_seq2seq; int8->bf16 convert fused
+    # into the decode matmuls) + int8 cross-attention KV cache
+    # (cfg.kv_quant). Measured together 1.32x on the Pegasus-large
+    # decode step — PERF.md round 3.
     int8_titles = "--int8_titles" in argv
     if int8_titles:
         argv.remove("--int8_titles")
@@ -115,7 +117,8 @@ def main(argv=None):
         from ..ops.quantize import quantize_seq2seq
 
         variables = jax.jit(quantize_seq2seq)(variables)
-        s2s_cfg = dataclasses.replace(s2s_cfg, weight_quant=True)
+        s2s_cfg = dataclasses.replace(s2s_cfg, weight_quant=True,
+                                      kv_quant=True)
         task.model = task.model.clone(cfg=s2s_cfg)
 
     decode = (functools.partial(beam_search, num_beams=num_beams)
