@@ -20,6 +20,7 @@ s2d stem) scoring 16-frame clips at stride 4; titles = Pegasus-large-
 shaped seq2seq, greedy KV-cached decode, 30 tokens, encoder input 512.
 
 Run: python bench_pipeline.py [--synthetic] [--videos N] [--batch B]
+     [--int8-titles] [--int8-vision]   (opt-in int8 serving paths)
 (expects a TPU; first run also JPEG-encodes the corpus, ~1 min)
 """
 
@@ -80,7 +81,7 @@ def _build_two_stream_variables(model, score_batch):
 
 
 def run_real(score_batch: int = 16, n_videos: int = N_VIDEOS,
-             int8_titles: bool = False):
+             int8_titles: bool = False, int8_vision: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -137,7 +138,33 @@ def run_real(score_batch: int = 16, n_videos: int = N_VIDEOS,
     t0 = time.time()
     variables = _build_two_stream_variables(model, score_batch)
     print(f"# boundary init {time.time()-t0:.0f}s", flush=True)
-    score_fn = make_packed_two_stream_score_fn(model, variables)
+    quant = None
+    if int8_vision:
+        # int8 serving of the boundary scorer (W8A8 vision trunk):
+        # calibrate activation scales on real corpus frames — the first
+        # video's first score_batch clips through the same s2d decode
+        # the pipeline uses
+        from video_chapter_generation_tpu.data.frames import (
+            load_clip_frames,
+        )
+        from video_chapter_generation_tpu.ops.quantize import (
+            calibrate_two_stream_quant,
+        )
+
+        vid0 = corpus.vids[0]
+        n_img = corpus.image_num(vid0)
+        cal = np.stack([
+            load_clip_frames(
+                [corpus.frame_path(vid0, s + k + 1)
+                 for k in range(CLIP_FRAMES)], 224, s2d=True)
+            for s in range(0, min(score_batch * CLIP_FRAMES,
+                                  n_img - CLIP_FRAMES), CLIP_FRAMES)])
+        t0 = time.time()
+        quant = calibrate_two_stream_quant(model, variables, cal)
+        print(f"# int8 vision calibration {time.time()-t0:.0f}s "
+              f"({cal.shape[0]} clips)", flush=True)
+    score_fn = make_packed_two_stream_score_fn(model, variables,
+                                               quant_scales=quant)
 
     # --- title model: pegasus-large shape, bf16, bucketed batch ---
     s2s_cfg = Seq2SeqConfig.pegasus_large()
@@ -225,12 +252,16 @@ def run_real(score_batch: int = 16, n_videos: int = N_VIDEOS,
     print(f"# per-video {per_video*1000:.0f} ms over {len(vids)} videos "
           f"({clips} clips scored, chapters/video={n_ch}, "
           f"title bucket {TITLE_BUCKET})", flush=True)
-    print(json.dumps({
+    result = {
         "metric": "e2e_videos_per_min_per_chip",
         "value": round(vpm, 2),
         "unit": "videos/min/chip",
         "vs_baseline": round(vpm / BASELINE_PER_CHIP, 3),
-    }))
+    }
+    if int8_titles or int8_vision:  # opt-in int8 serving configuration
+        result["int8"] = ((["titles"] if int8_titles else [])
+                          + (["vision"] if int8_vision else []))
+    print(json.dumps(result))
 
 
 def run_synthetic():
@@ -379,7 +410,8 @@ def main(argv=None):
         i = argv.index("--videos")
         n_videos = int(argv[i + 1])
     return run_real(score_batch=batch, n_videos=n_videos,
-                    int8_titles="--int8-titles" in argv)
+                    int8_titles="--int8-titles" in argv,
+                    int8_vision="--int8-vision" in argv)
 
 
 if __name__ == "__main__":

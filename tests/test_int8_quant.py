@@ -246,3 +246,68 @@ def test_int8_training_path_unaffected(monkeypatch):
     out_b, _ = base.apply(vb, frames, train=True, mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_b),
                                atol=1e-6)
+
+
+def test_int8_two_stream_serving(monkeypatch):
+    """int8 serving of the boundary scorer: calibrate_two_stream_quant +
+    the quant_scales hooks of make_{packed_,}two_stream_score_fn. The
+    quantized packed and unpacked scorers must agree with each other
+    (same quantized vision compute, staged vs fused), stay close to the
+    bf16 scorer, and really take the quantized path."""
+    import video_chapter_generation_tpu.models.resnet as rn
+    from video_chapter_generation_tpu.models.bert import (
+        BertConfig,
+        BertModel,
+    )
+    from video_chapter_generation_tpu.models.fusion import TwoStream
+    from video_chapter_generation_tpu.ops.quantize import (
+        calibrate_two_stream_quant,
+    )
+    from video_chapter_generation_tpu.pipeline.boundary import (
+        make_packed_two_stream_score_fn,
+        make_two_stream_score_fn,
+    )
+
+    monkeypatch.setattr(rn, "FORCE_WHOLE_BLOCKS", True)
+    seg, hw, tlen, b = 2, 32, 8, 2
+    model = TwoStream(
+        lang_model=BertModel(BertConfig.tiny()),
+        vision_model=rn.ResNet(stage_sizes=(1, 2, 1, 1), n_segment=seg,
+                               tsm_impl="fusedall", stem_input="s2d"),
+        segment_size=seg, hidden_size=16, head_type="mlp",
+    )
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (b, seg, hw // 4, hw // 4, 48), np.uint8)
+    ids = rng.integers(1, 50, (b, tlen)).astype(np.int32)
+    mask = np.ones((b, tlen), np.int32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img),
+                           jnp.asarray(ids), jnp.asarray(mask))
+
+    scales = calibrate_two_stream_quant(model, variables, img)
+    assert set(scales) == {"vision_model"}
+
+    batch = {"img_clip": jnp.asarray(img), "text_ids": jnp.asarray(ids),
+             "attention_mask": jnp.asarray(mask)}
+    # s2d-stem models consume raw uint8 (the stem normalizes in-kernel)
+    ref = np.asarray(make_two_stream_score_fn(
+        model, variables, normalize=False)(batch))
+    q = np.asarray(make_two_stream_score_fn(
+        model, variables, normalize=False, quant_scales=scales)(batch))
+    assert q.shape == ref.shape == (b,)
+    np.testing.assert_allclose(q, ref, atol=0.1)
+
+    # packed flow: unique frames as one pack + [B, T] gather indices
+    pack = jnp.asarray(img.reshape(-1, hw // 4, hw // 4, 48))
+    pbatch = {"text_ids": jnp.asarray(ids),
+              "attention_mask": jnp.asarray(mask),
+              "frame_idx": jnp.arange(b * seg).reshape(b, seg)}
+    q_packed = np.asarray(make_packed_two_stream_score_fn(
+        model, variables, quant_scales=scales)(pbatch, pack))
+    np.testing.assert_allclose(q_packed, q, atol=1e-5)
+
+    # saturating unit scales change the answer -> the quantized path ran
+    ones = jax.tree_util.tree_map(lambda v: np.ones_like(np.asarray(v)),
+                                  scales)
+    q_sat = np.asarray(make_two_stream_score_fn(
+        model, variables, normalize=False, quant_scales=ones)(batch))
+    assert not np.allclose(q_sat, q)

@@ -80,11 +80,16 @@ def _tokenizer_from_clips(cfg, args):
     return WordPieceTokenizer.build_from_corpus(texts, vocab_size=8000)
 
 
-def build_score_fn(cfg, args, tokenizer, mesh=None):
+def build_score_fn(cfg, args, tokenizer, mesh=None, calib_clips=None):
     """Construct the jitted scorer from a checkpointed train state.
 
     With `mesh`, the scorer shards its batch over the mesh 'data' axis
-    (pipeline/sharded.py) — multi-chip clip scoring."""
+    (pipeline/sharded.py) — multi-chip clip scoring.
+
+    `calib_clips` (uint8 [B, T, H, W, 3] real frames; two_stream kind
+    only) enables int8 serving of the vision trunk: W8A8 activation
+    scales are calibrated on them (ops.quantize.calibrate_two_stream_quant)
+    and the scorer runs the quantized twin — PERF.md round 3, opt-in."""
     import jax
 
     from ..core.checkpoint import CheckpointManager
@@ -128,17 +133,29 @@ def build_score_fn(cfg, args, tokenizer, mesh=None):
         print(f"restored checkpoint at step {int(state.step)}")
     ckpt.close()
 
+    quant = None
+    if calib_clips is not None:
+        assert kind == "two_stream", (
+            "int8 vision serving is implemented for the two_stream "
+            f"scorer only (got model.kind={kind})")
+        from ..ops.quantize import calibrate_two_stream_quant
+
+        quant = calibrate_two_stream_quant(task.model, variables,
+                                           calib_clips)
+
     if mesh is not None:
         if kind == "text":
             return make_sharded_text_score_fn(task.model, variables, mesh)
         if kind == "two_stream":
             return make_sharded_two_stream_score_fn(task.model, variables,
-                                                    mesh)
+                                                    mesh,
+                                                    quant_scales=quant)
         return make_sharded_window_score_fn(task.model, variables, mesh)
     if kind == "text":
         return make_text_score_fn(task.model, variables)
     if kind == "two_stream":
-        return make_two_stream_score_fn(task.model, variables)
+        return make_two_stream_score_fn(task.model, variables,
+                                        quant_scales=quant)
     return make_window_score_fn(task.model, variables)
 
 

@@ -76,6 +76,13 @@ def main(argv=None):
     int8_titles = "--int8_titles" in argv
     if int8_titles:
         argv.remove("--int8_titles")
+    # --int8_vision: int8 serving of the boundary scorer — W8A8 vision
+    # trunk (ops.quantize.calibrate_two_stream_quant + the int8 Pallas
+    # bottleneck kernels; +11.5% vision device time, PERF.md round 3).
+    # Activation scales calibrate on the first video's real frames.
+    int8_vision = "--int8_vision" in argv
+    if int8_vision:
+        argv.remove("--int8_vision")
 
     cfg, args = parse_config(argv, "whole-pipeline per-video inference")
     corpus = load_corpus(cfg, "test")
@@ -89,7 +96,24 @@ def main(argv=None):
         mesh = make_mesh()  # all local devices on the data axis
         assert cfg.data.batch_size % mesh.shape["data"] == 0, (
             cfg.data.batch_size, dict(mesh.shape))
-    score_fn = build_score_fn(cfg, args, tokenizer, mesh=mesh)
+    calib = None
+    if int8_vision:
+        assert cfg.model.kind == "two_stream", (
+            "--int8_vision needs model.kind=two_stream")
+        from ..data.frames import load_clip_frames
+
+        vid0 = (vids or corpus.vids)[0]
+        seg = cfg.data.clip_frame_num
+        n_img = corpus.image_num(vid0)
+        starts = list(range(0, max(1, n_img - seg), seg))
+        starts = starts[: cfg.data.batch_size]
+        calib = np.stack([
+            load_clip_frames(
+                [corpus.frame_path(vid0, min(s + k + 1, n_img))
+                 for k in range(seg)], 224)
+            for s in starts])
+    score_fn = build_score_fn(cfg, args, tokenizer, mesh=mesh,
+                              calib_clips=calib)
 
     s2s_cfg = (
         Seq2SeqConfig.tiny(vocab_size=title_tokenizer.vocab_size)

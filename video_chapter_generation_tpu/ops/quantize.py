@@ -163,6 +163,32 @@ def calibrate_tsm_quant(model50, variables, clips_u8,
     return {"base_model": scales}
 
 
+def calibrate_two_stream_quant(model, variables, clips,
+                               max_pct: Optional[float] = None,
+                               ) -> Dict[str, Any]:
+    """Calibration for a fusion.TwoStream boundary scorer: clips
+    [B, T, ...] (uint8 s2d pack for stem_input='s2d' vision models,
+    otherwise frames — uint8 frames are normalized here) -> the "quant"
+    collection nested for the TwoStream variable tree
+    ({"vision_model": {...}}). Pair with
+    model.clone(vision_model=model.vision_model.clone(quantize=True))
+    and apply({**variables, "quant": scales}, ...) — or pass the scales
+    to pipeline.boundary.make_{packed_,}two_stream_score_fn."""
+    import jax.numpy as jnp
+
+    vision = model.vision_model
+    sub = {"params": variables["params"]["vision_model"],
+           "batch_stats": variables["batch_stats"]["vision_model"]}
+    clips = jnp.asarray(clips)
+    flat = clips.reshape(-1, *clips.shape[2:])
+    if vision.stem_input != "s2d" and flat.dtype == jnp.uint8:
+        from .preprocess import normalize_frames
+
+        flat = normalize_frames(flat)
+    scales = calibrate_resnet_quant(vision, sub, flat, max_pct=max_pct)
+    return {"vision_model": scales}
+
+
 def quantize_seq2seq(variables) -> Dict[str, Any]:
     """Weight-only int8 transform of a float Seq2Seq variable tree.
 

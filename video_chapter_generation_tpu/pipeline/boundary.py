@@ -102,12 +102,22 @@ def make_text_score_fn(model, variables):
                             batch["attention_mask"])
 
 
-def make_two_stream_score_fn(model, variables, normalize=True):
-    """Positive-class probability from TwoStream (base) on uint8 frames."""
+def make_two_stream_score_fn(model, variables, normalize=True,
+                             quant_scales=None):
+    """Positive-class probability from TwoStream (base) on uint8 frames.
+
+    quant_scales (from ops.quantize.calibrate_two_stream_quant) swaps the
+    vision trunk for its W8A8 quantized twin — int8 serving of the
+    boundary scorer (PERF.md round 3; opt-in, +11.5% vision device time)."""
     import jax
     import jax.numpy as jnp
 
     from ..ops.preprocess import normalize_frames
+
+    if quant_scales is not None:
+        model = model.clone(
+            vision_model=model.vision_model.clone(quantize=True))
+        variables = {**variables, "quant": quant_scales}
 
     @jax.jit
     def fn(v, img_u8, text_ids, attention_mask):
@@ -121,7 +131,7 @@ def make_two_stream_score_fn(model, variables, normalize=True):
     )
 
 
-def make_packed_two_stream_score_fn(model, variables):
+def make_packed_two_stream_score_fn(model, variables, quant_scales=None):
     """score_fn(batch, frame_pack) for the packed per-video flow
     (ChapterPipeline(frame_pack=True)): each video's UNIQUE frames go
     host->device ONCE as a [N, hw/4, hw/4, 48] uint8 s2d pack (clips at
@@ -146,6 +156,12 @@ def make_packed_two_stream_score_fn(model, variables):
     bstats = variables.get("batch_stats", {})
     if "vision_model" in bstats:
         vis_vars["batch_stats"] = bstats["vision_model"]
+    if quant_scales is not None:
+        # int8 serving of the vision stage (W8A8 trunk, opt-in): scales
+        # from ops.quantize.calibrate_two_stream_quant, nested for the
+        # TwoStream tree
+        vision = vision.clone(quantize=True)
+        vis_vars["quant"] = quant_scales["vision_model"]
     lang_vars = {"params": variables["params"]["lang_model"]}
     head_vars = {"params": variables["params"]["fusion_head"]}
 

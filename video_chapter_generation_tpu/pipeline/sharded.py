@@ -67,13 +67,20 @@ def make_sharded_text_score_fn(model, variables, mesh):
 
 
 def make_sharded_two_stream_score_fn(model, variables, mesh,
-                                     normalize: bool = True):
+                                     normalize: bool = True,
+                                     quant_scales=None):
     """Data-sharded version of boundary.make_two_stream_score_fn: frames
-    enter uint8, the per-chip shard normalizes on device."""
+    enter uint8, the per-chip shard normalizes on device. quant_scales
+    (ops.quantize.calibrate_two_stream_quant) enables the int8 vision
+    trunk, same as the single-device fn."""
     import jax
 
     from ..ops.preprocess import normalize_frames
 
+    if quant_scales is not None:
+        model = model.clone(
+            vision_model=model.vision_model.clone(quantize=True))
+        variables = {**variables, "quant": quant_scales}
     v = _put_replicated(mesh, variables)
 
     @jax.jit
