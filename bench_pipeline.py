@@ -153,12 +153,15 @@ def run_real(score_batch: int = 16, n_videos: int = N_VIDEOS,
 
         vid0 = corpus.vids[0]
         n_img = corpus.image_num(vid0)
+        # mirror infer_video's guard: short first videos (n_img <=
+        # CLIP_FRAMES) still yield one clamped calibration clip
+        starts = list(range(0, max(1, n_img - CLIP_FRAMES),
+                            CLIP_FRAMES))[:score_batch]
         cal = np.stack([
             load_clip_frames(
-                [corpus.frame_path(vid0, s + k + 1)
+                [corpus.frame_path(vid0, min(s + k + 1, n_img))
                  for k in range(CLIP_FRAMES)], 224, s2d=True)
-            for s in range(0, min(score_batch * CLIP_FRAMES,
-                                  n_img - CLIP_FRAMES), CLIP_FRAMES)])
+            for s in starts])
         t0 = time.time()
         quant = calibrate_two_stream_quant(model, variables, cal)
         print(f"# int8 vision calibration {time.time()-t0:.0f}s "

@@ -83,6 +83,7 @@ def test_train_segment_text_cli(disk_corpus, tmp_path):
     assert os.path.isdir(tmp_path / "ckpt")
 
 
+@pytest.mark.slow
 def test_train_segment_window_cli(disk_corpus, tmp_path):
     from video_chapter_generation_tpu.cli import train_segment
 

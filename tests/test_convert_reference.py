@@ -149,6 +149,7 @@ def _torchvision_like_resnet(stage_sizes=(1, 1, 1, 1)):
     return ResNet()
 
 
+@pytest.mark.slow
 def test_composed_two_stream_window_matches_reference():
     """End-to-end: a randomly-initialized reference TwoStreamWindow
     (two_stream_window.py:292-445 — the reference's OWN fusion code,

@@ -80,6 +80,30 @@ def test_split_deterministic():
     assert set(t1) | set(v1) | set(te1) == set(vids)
 
 
+def test_subset_split():
+    """Pin the reduce_val_data.py:19-25 subsetting arithmetic: seeded
+    random.sample of int(len * fraction) vids, emitted sorted; clips JSON
+    filtered to the surviving vids (reduce_val_data.py:32)."""
+    import random
+
+    from video_chapter_generation_tpu.datasetkit.split import (
+        filter_clips_to_vids,
+        subset_split,
+    )
+
+    vids = [f"v{i:03d}" for i in range(40)]
+    sub = subset_split(vids, 0.5, seed=42)
+    assert sub == sorted(random.Random(42).sample(vids, 20))
+    assert len(sub) == 20 and sub == sorted(sub)
+    assert subset_split(vids, 0.5, seed=42) == sub  # deterministic
+    assert set(sub) <= set(vids)
+
+    clips = [{"vid": v, "i": i} for i, v in enumerate(vids * 2)]
+    kept = filter_clips_to_vids(clips, sub)
+    assert len(kept) == 40
+    assert all(c["vid"] in set(sub) for c in kept)
+
+
 def test_glove(tmp_path):
     txt = tmp_path / "glove.txt"
     txt.write_text("hello 1.0 2.0 3.0\nworld 4.0 5.0 6.0\nbad x y z\n")

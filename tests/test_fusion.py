@@ -73,6 +73,7 @@ def test_stacked_window_attention():
     assert float(jnp.abs(logits - logits2).max()) > 1e-5
 
 
+@pytest.mark.slow
 def test_two_stream_base():
     lang, vision = tiny_models()
     m = TwoStream(lang_model=lang, vision_model=vision, segment_size=SEG,
@@ -88,6 +89,7 @@ def test_two_stream_base():
     assert emb.shape == (2, SEG, 2048)
 
 
+@pytest.mark.slow
 def test_two_stream_window_end_to_end():
     lang, vision = tiny_models()
     W = 3

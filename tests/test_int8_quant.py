@@ -9,6 +9,8 @@ features (cosine similarity) vs the bf16 path on a tiny ResNet."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy kernel/training parity — deselect via -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 

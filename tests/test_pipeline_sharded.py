@@ -85,6 +85,51 @@ def test_shard_title_fn_pads_and_trims():
     np.testing.assert_array_equal(out, ids[:, :4] + 1)
 
 
+def test_tp_sharded_title_decode_matches_unsharded():
+    """TP where it matters in production: a Pegasus-shaped decode with
+    FFN/vocab-head weights sharded over 'model' (shard_params_tp) must
+    emit exactly the tokens the unsharded decode does — GSPMD collectives
+    change layout, not math (PERF.md:682-694; HBM-bound decode is THE
+    real TP target at 568M params)."""
+    from video_chapter_generation_tpu.models.seq2seq import (
+        Seq2Seq,
+        Seq2SeqConfig,
+        generate,
+    )
+
+    cfg = Seq2SeqConfig.tiny()
+    model = Seq2Seq(cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (4, 12)),
+                      jnp.int32)
+    mask = jnp.ones_like(ids)
+    variables = model.init(jax.random.PRNGKey(0), ids, mask, ids[:, :4])
+
+    ref_ids, ref_logits = generate(model, variables, ids, mask, max_len=6)
+
+    mesh = make_mesh(data=4, model=2)
+    specs = shard_params_tp(mesh, variables["params"], min_size=64)
+    n_tp = sum(1 for s in jax.tree_util.tree_leaves(specs)
+               if s.spec != jax.sharding.PartitionSpec())
+    assert n_tp > 0, "min_size=64 must shard the FFN/vocab matrices"
+    sharded_vars = {
+        "params": jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s), variables["params"], specs,
+            is_leaf=lambda x: hasattr(x, "shape"),
+        )
+    }
+    from video_chapter_generation_tpu.parallel.mesh import batch_sharding
+
+    with mesh:
+        ids_s = jax.device_put(ids, batch_sharding(mesh))
+        mask_s = jax.device_put(mask, batch_sharding(mesh))
+        tp_ids, tp_logits = generate(model, sharded_vars, ids_s, mask_s,
+                                     max_len=6)
+    np.testing.assert_array_equal(np.asarray(ref_ids), np.asarray(tp_ids))
+    np.testing.assert_allclose(np.asarray(ref_logits),
+                               np.asarray(tp_logits), rtol=2e-5, atol=2e-5)
+
+
 def test_shard_params_tp_specs():
     mesh = make_mesh(data=4, model=2)
     tree = {
@@ -140,6 +185,7 @@ print(f"rank {{rank}} fanout OK {{len(out)}} videos")
 """
 
 
+@pytest.mark.slow
 def test_run_videos_distributed_two_processes():
     """Real 2-process video fan-out: each rank scores its share, merged
     results arrive everywhere via dist.all_gather_object."""

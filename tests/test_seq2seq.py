@@ -124,6 +124,52 @@ def test_generate_matches_hf_generate(hf_pegasus, ours_pegasus):
     assert ours_row[:n] == hf_row[:n]
 
 
+@pytest.mark.parametrize(
+    "length_penalty,early_stopping",
+    [(1.0, False), (2.0, False), (0.6, True), (1.0, "never")],
+)
+def test_beam_search_matches_hf_generate(hf_pegasus, ours_pegasus,
+                                         length_penalty, early_stopping):
+    """num_beams=4 differential vs HF `generate` incl. length penalty and
+    every early_stopping mode — the place beam implementations silently
+    diverge (candidate banking, frozen-length normalization, HF's
+    loop-termination heuristics)."""
+    import torch
+
+    from video_chapter_generation_tpu.models.seq2seq import beam_search
+
+    model, variables, cfg = ours_pegasus
+    max_len = 12
+    for seed in range(3):
+        ids, mask, _ = _inputs(b=2, seed=seed)
+        ours_ids, ours_scores = beam_search(
+            model, variables, jnp.asarray(ids), jnp.asarray(mask),
+            num_beams=4, max_len=max_len, length_penalty=length_penalty,
+            early_stopping=early_stopping,
+        )
+        with torch.no_grad():
+            hf_out = hf_pegasus.generate(
+                input_ids=torch.from_numpy(ids).long(),
+                attention_mask=torch.from_numpy(mask).long(),
+                max_new_tokens=max_len, num_beams=4, do_sample=False,
+                length_penalty=length_penalty, early_stopping=early_stopping,
+                forced_eos_token_id=None, output_scores=True,
+                return_dict_in_generate=True,
+            )
+        ours_rows = trim_at_eos(ours_ids, cfg.eos_token_id)
+        for r in range(ids.shape[0]):
+            hf_row = list(hf_out.sequences[r].numpy())[1:]  # drop start tok
+            if cfg.eos_token_id in hf_row:
+                hf_row = hf_row[: hf_row.index(cfg.eos_token_id)]
+            assert ours_rows[r] == hf_row, (
+                f"seed {seed} row {r}: {ours_rows[r]} vs {hf_row}")
+        np.testing.assert_allclose(
+            np.asarray(ours_scores),
+            hf_out.sequences_scores.numpy(), rtol=1e-4, atol=1e-4,
+            err_msg=f"seed {seed} normalized beam scores",
+        )
+
+
 def test_top_k_filter():
     logits = jnp.asarray([[1.0, 5.0, 3.0, 2.0]])
     out = np.asarray(top_k_filter(logits, 2))

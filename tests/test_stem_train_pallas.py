@@ -8,6 +8,8 @@ Covers the frames entry (XLA s2d reshape) and the raw-uint8 s2d entry
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy kernel/training parity — deselect via -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 

@@ -84,6 +84,7 @@ def cfg(tmp_path):
     return c
 
 
+@pytest.mark.slow
 def test_trainer_learns_and_checkpoints(cfg, tmp_path):
     task = TextTask(cfg)
     trainer = Trainer(
@@ -148,6 +149,7 @@ def test_no_decay_mask_rules():
     assert mask["head"]["kernel"] is True
 
 
+@pytest.mark.slow
 def test_segment_window_task_s2d_feed_matches_frames():
     """stem_input='s2d' (raw uint8 space-to-depth feed) computes the same
     training loss as the legacy float-frames feed: the s2d fallback path

@@ -35,6 +35,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy kernel/training parity — deselect via -m 'not slow'
+
 torch = pytest.importorskip("torch")
 
 sys.path.insert(0, "/root/reference/video_chapter_generation")

@@ -7,6 +7,8 @@ not zero) using positive-shifted bn biases that expose it."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy kernel/training parity — deselect via -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 

@@ -10,6 +10,8 @@ sublane-padded block widths (W not a multiple of 8 — the L3/L4 regime)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy kernel/training parity — deselect via -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 

@@ -11,6 +11,8 @@ integration (param/batch_stats tree identity with the per-block path)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy kernel/training parity — deselect via -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 

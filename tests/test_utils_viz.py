@@ -81,6 +81,7 @@ def test_grad_cam():
     assert float(cam.min()) >= 0.0 and float(cam.max()) <= 1.0 + 1e-6
 
 
+@pytest.mark.slow
 def test_lang_saliency_and_ig():
     from video_chapter_generation_tpu.models.bert import (
         BertConfig,

@@ -31,6 +31,12 @@ def parse_config(argv: Optional[List[str]] = None,
                         help="path to a sentencepiece piece<TAB>score export")
     parser.add_argument("--tiny", action="store_true",
                         help="tiny model configs (CI / smoke)")
+    parser.add_argument("--title_arch", type=str, default="pegasus",
+                        choices=("pegasus", "bigbird", "bart"),
+                        help="title-model family (pegasus_hugface.py / "
+                        "pegasus_bigbird.py / bart_hugface.py analogues); "
+                        "bigbird = block-sparse long-context encoder — "
+                        "raise data.title_input_len (e.g. 3072) to use it")
     parser.add_argument("overrides", nargs="*", help="a.b=c overrides")
     args = parser.parse_args(argv)
 
@@ -63,6 +69,41 @@ def load_bert_tokenizer(args, corpus: Optional[VideoCorpus] = None):
             texts += [s["text"] for s in corpus.subtitles(vid)]
         return WordPieceTokenizer.build_from_corpus(texts, vocab_size=8000)
     raise SystemExit("--bert_vocab required (no corpus to build one from)")
+
+
+def title_s2s_config(args, tokenizer):
+    """Seq2SeqConfig for the selected --title_arch at the selected size.
+
+    The reference ships three title families (train_chapter_title_gen.py
+    model_type pegasus|bigbird|bart); `bigbird` here maps to the
+    block-sparse long-context encoder (models/sparse_attention.py)."""
+    import dataclasses
+
+    from ..models.seq2seq import Seq2SeqConfig
+
+    arch = getattr(args, "title_arch", "pegasus")
+    if args.tiny:
+        kw = dict(vocab_size=tokenizer.vocab_size)
+        if arch == "bigbird":
+            kw.update(
+                max_positions=256, encoder_attention="block_sparse",
+                block_size=16, num_rand_blocks=1, activation="gelu_new",
+                learned_positions=True, decoder_start_token_id=2,
+                attention_bias=False,
+            )
+        elif arch == "bart":
+            kw.update(
+                activation="gelu", pre_norm=False, learned_positions=True,
+                position_offset=2, scale_embedding=False,
+                embed_layernorm=True,
+            )
+        return Seq2SeqConfig.tiny(**kw)
+    base = {
+        "pegasus": Seq2SeqConfig.pegasus_large,
+        "bigbird": Seq2SeqConfig.bigbird_pegasus_large,
+        "bart": Seq2SeqConfig.bart_large,
+    }[arch]()
+    return dataclasses.replace(base, vocab_size=tokenizer.vocab_size)
 
 
 def load_title_tokenizer(args, corpus: Optional[VideoCorpus] = None):

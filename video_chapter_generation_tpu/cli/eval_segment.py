@@ -34,6 +34,12 @@ def main(argv=None):
     compat = "--compat_first_clip" in argv
     if compat:
         argv.remove("--compat_first_clip")
+    # --int8_vision: W8A8 int8 serving of the vision trunk, calibrated on
+    # the first batch of eval clips — task-metric A/Bs vs bf16 run
+    # through this REAL eval CLI (tools/impl_ab_eval.py)
+    int8_vision = "--int8_vision" in argv
+    if int8_vision:
+        argv.remove("--int8_vision")
 
     cfg, args = parse_config(argv, "evaluate boundary model")
     tokenizer = _tokenizer_from_clips(cfg, args)
@@ -51,7 +57,15 @@ def main(argv=None):
             max_text_len=cfg.data.max_text_len, mode=cfg.model.data_mode,
         )
 
-    score_fn = build_score_fn(cfg, args, tokenizer)
+    calib = None
+    if int8_vision:
+        assert cfg.model.kind == "two_stream", (
+            "--int8_vision needs model.kind=two_stream")
+        assert cfg.model.stem_input == "frames", (
+            "--int8_vision on this CLI supports model.stem_input='frames'")
+        n = min(cfg.data.batch_size, len(ds))
+        calib = np.stack([ds[i]["img_clip"] for i in range(n)])
+    score_fn = build_score_fn(cfg, args, tokenizer, calib_clips=calib)
     score_clips(ds, score_fn, cfg.data.batch_size)
 
     result = evaluate_segment_predictions(

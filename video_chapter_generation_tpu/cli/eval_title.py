@@ -39,7 +39,6 @@ def main(argv=None):
     from ..evalkit.title_eval import evaluate_titles, write_title_result_file
     from ..models.seq2seq import (
         Seq2Seq,
-        Seq2SeqConfig,
         beam_search,
         generate,
         trim_at_eos,
@@ -72,6 +71,13 @@ def main(argv=None):
         i = argv.index("--num_beams")
         num_beams = int(argv[i + 1])
         del argv[i : i + 2]
+    # --int8_titles: int8 serving of the title model (weight-only int8
+    # kernels + int8 cross-KV cache; 1.32x decode, PERF.md round 3) —
+    # here so task-metric A/Bs vs bf16 run through the REAL eval CLI
+    # (tools/impl_ab_eval.py)
+    int8_titles = "--int8_titles" in argv
+    if int8_titles:
+        argv.remove("--int8_titles")
 
     cfg, args = parse_config(argv, "evaluate chapter-title generator")
     corpus = load_corpus(cfg, "test")
@@ -85,8 +91,9 @@ def main(argv=None):
             vid: d["second_pred_cut_points"] for vid, d in raw.items()
         }
 
-    s2s_cfg = (Seq2SeqConfig.tiny(vocab_size=tokenizer.vocab_size)
-               if args.tiny else Seq2SeqConfig.pegasus_large())
+    from .common import title_s2s_config
+
+    s2s_cfg = title_s2s_config(args, tokenizer)
     # even the tiny ResNet variant emits 2048-dim features (64*2^3*4)
     emb_dim = 2048
     if vision_emb_dir is not None:
@@ -109,6 +116,17 @@ def main(argv=None):
                         drop_last=False)
 
     variables = _restore(cfg, task)
+    if int8_titles:
+        import dataclasses
+
+        from ..ops.quantize import quantize_seq2seq
+
+        assert vision_emb_dir is None, (
+            "--int8_titles supports the text-only title model")
+        variables = jax.jit(quantize_seq2seq)(variables)
+        s2s_cfg = dataclasses.replace(s2s_cfg, weight_quant=True,
+                                      kv_quant=True)
+        task.model = task.model.clone(cfg=s2s_cfg)
     inner = Seq2Seq(s2s_cfg)  # decode-side module for the vision wrapper
 
     @jax.jit

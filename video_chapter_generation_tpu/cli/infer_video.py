@@ -22,7 +22,6 @@ import numpy as np
 import functools
 
 from ..models.seq2seq import (
-    Seq2SeqConfig,
     beam_search,
     generate,
     trim_at_eos,
@@ -33,6 +32,7 @@ from .common import (
     load_corpus,
     load_title_tokenizer,
     parse_config,
+    title_s2s_config,
 )
 from .eval_segment import build_score_fn
 
@@ -100,6 +100,14 @@ def main(argv=None):
     if int8_vision:
         assert cfg.model.kind == "two_stream", (
             "--int8_vision needs model.kind=two_stream")
+        # the non-packed scoring path (make_two_stream_score_fn) feeds
+        # plain [B,T,224,224,3] frames; s2d-stem models need the packed
+        # per-video flow (ChapterPipeline(frame_pack=True) /
+        # bench_pipeline.py) — fail early with a clear message instead
+        # of an opaque stem shape error mid-calibration
+        assert cfg.model.stem_input == "frames", (
+            "--int8_vision on this CLI supports model.stem_input="
+            "'frames' only; use the packed pipeline for s2d stems")
         from ..data.frames import load_clip_frames
 
         vid0 = (vids or corpus.vids)[0]
@@ -107,18 +115,19 @@ def main(argv=None):
         n_img = corpus.image_num(vid0)
         starts = list(range(0, max(1, n_img - seg), seg))
         starts = starts[: cfg.data.batch_size]
+        # calibration clips must match the model's stem contract
+        # (calibrate_two_stream_quant: s2d pack for stem_input='s2d',
+        # plain [T,224,224,3] frames otherwise)
         calib = np.stack([
             load_clip_frames(
                 [corpus.frame_path(vid0, min(s + k + 1, n_img))
-                 for k in range(seg)], 224)
+                 for k in range(seg)], 224,
+                s2d=(cfg.model.stem_input == "s2d"))
             for s in starts])
     score_fn = build_score_fn(cfg, args, tokenizer, mesh=mesh,
                               calib_clips=calib)
 
-    s2s_cfg = (
-        Seq2SeqConfig.tiny(vocab_size=title_tokenizer.vocab_size)
-        if args.tiny else Seq2SeqConfig.pegasus_large()
-    )
+    s2s_cfg = title_s2s_config(args, title_tokenizer)
     from ..models.seq2seq import Seq2Seq
     from ..train.tasks import TitleGenTask, TitleGenVisionTask
     from .eval_title import _restore

@@ -15,10 +15,14 @@ from ..data.datasets import (
     npy_vision_emb_provider,
 )
 from ..data.loader import DataLoader
-from ..models.seq2seq import Seq2SeqConfig
 from ..train.loop import Trainer
 from ..train.tasks import TitleGenTask, TitleGenVisionTask
-from .common import load_corpus, load_title_tokenizer, parse_config
+from .common import (
+    load_corpus,
+    load_title_tokenizer,
+    parse_config,
+    title_s2s_config,
+)
 
 
 def main(argv=None):
@@ -29,15 +33,9 @@ def main(argv=None):
     val_corpus = load_corpus(cfg, "val")
     tokenizer = load_title_tokenizer(args, corpus)
 
-    s2s = (
-        Seq2SeqConfig.tiny(vocab_size=tokenizer.vocab_size)
-        if args.tiny
-        else Seq2SeqConfig.pegasus_large()
-    )
-    if not args.tiny:
-        import dataclasses
-
-        s2s = dataclasses.replace(s2s, vocab_size=tokenizer.vocab_size)
+    # --title_arch pegasus|bigbird|bart (bigbird = block-sparse
+    # long-context encoder; pair with data.title_input_len=3072)
+    s2s = title_s2s_config(args, tokenizer)
 
     vision_dir = cfg.model.vision_init  # reused: path to vision emb dump
     if vision_dir:

@@ -278,6 +278,14 @@ class InferWindowClipDataset(InferClipDataset):
             else:
                 s, _ = self.vid_to_range[info.vid]
                 self.vid_to_range[info.vid] = (s, idx + 1)
+        # per-video frame count for clips_info: the flattened-clips JSON
+        # carries no image_num, so recover it as the max clip end — the
+        # reference's own fallback (infer_youtube_video_dataset.py:645)
+        self.vid_to_total_frames: Dict[str, int] = {
+            vid: max(self.all_clip_infos[k].clip_start_end[1]
+                     for k in range(s, e))
+            for vid, (s, e) in self.vid_to_range.items()
+        }
 
     def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
         info = self.all_clip_infos[i]
@@ -313,7 +321,7 @@ class InferWindowClipDataset(InferClipDataset):
             "label": np.int32(info.clip_label),
             "clip_index": np.int32(i),
             "clip_start_frame": starts,
-            "total_frames": np.int32(n_clips * 0 + 0),  # unused at eval
+            "total_frames": np.int32(self.vid_to_total_frames[info.vid]),
             "target_clip_idx": np.int32(local),
             "total_num_clips": np.int32(n_clips),
         }

@@ -83,6 +83,24 @@ def intersect_split(test_vids: List[str], easy_vids: List[str],
     )
 
 
+def subset_split(vids: List[str], fraction: float, seed: int = 42):
+    """Seeded fractional subset of a vid list, sorted for stable output.
+
+    Port of the reference's subsetting one-offs: reduce_val_data.py:19-25
+    (random.sample(ids, int(len*frac)) at seed 42, written sorted) and the
+    debugging-ID sampling in make_temp_dataset.py:28-31."""
+    rng = random.Random(seed)
+    sample_size = int(len(vids) * fraction)
+    return sorted(rng.sample(list(vids), sample_size))
+
+
+def filter_clips_to_vids(clips: List[dict], vids: List[str]) -> List[dict]:
+    """Keep only flattened-clip records whose 'vid' is in the subset
+    (reduce_val_data.py:32)."""
+    keep = set(vids)
+    return [c for c in clips if c["vid"] in keep]
+
+
 def rouge_upper_bound_split(corpus, threshold: float = 0.25):
     """Automatic easy/hard criterion: a video is 'easy' when its chapter
     titles are extractable from the subtitles — the mean best-window

@@ -55,6 +55,9 @@ class Seq2SeqConfig:
     # long-context option (BigBird-Pegasus analogue): block-sparse encoder
     # self-attention (models/sparse_attention.py)
     encoder_attention: str = "full"  # full | block_sparse
+    # HF BigBirdPegasus builds its attention projections WITHOUT biases
+    # (config.use_bias=False); Pegasus/BART use them
+    attention_bias: bool = True
     block_size: int = 64
     num_rand_blocks: int = 3
     num_global_blocks: int = 1
@@ -79,11 +82,15 @@ class Seq2SeqConfig:
     @classmethod
     def bigbird_pegasus_large(cls) -> "Seq2SeqConfig":
         """google/bigbird-pegasus-large-arxiv shape: 4096-position encoder
-        with block-sparse attention (pegasus_bigbird.py:19)."""
+        with block-sparse attention (pegasus_bigbird.py:19). Matches HF
+        BigBirdPegasusConfig defaults: learned positions (no offset),
+        gelu_new FFN, decoder_start=2."""
         return cls(
             max_positions=4096, encoder_attention="block_sparse",
             block_size=64, num_rand_blocks=3, num_global_blocks=1,
-            scale_embedding=True, activation="gelu",
+            scale_embedding=True, activation="gelu_new",
+            learned_positions=True, decoder_start_token_id=2,
+            attention_bias=False,
         )
 
     @classmethod
@@ -137,10 +144,11 @@ class MultiHeadAttention(nn.Module):
     def setup(self):
         d = self.cfg.d_model
         dense = _dense_cls(self.cfg)
-        self.q_proj = dense(d, dtype=self.dtype)
-        self.k_proj = dense(d, dtype=self.dtype)
-        self.v_proj = dense(d, dtype=self.dtype)
-        self.out_proj = dense(d, dtype=self.dtype)
+        ub = self.cfg.attention_bias
+        self.q_proj = dense(d, dtype=self.dtype, use_bias=ub)
+        self.k_proj = dense(d, dtype=self.dtype, use_bias=ub)
+        self.v_proj = dense(d, dtype=self.dtype, use_bias=ub)
+        self.out_proj = dense(d, dtype=self.dtype, use_bias=ub)
 
     def __call__(self, q_in, kv_in, bias=None, deterministic=True,
                  cached_kv: Optional[Tuple] = None):
@@ -184,9 +192,10 @@ class MultiHeadAttention(nn.Module):
             self.v_proj(kv_in).reshape(*kv_in.shape[:-1], h, hd),
         )
 
-    def sparse_self(self, x, mask):
+    def sparse_self(self, x, mask, rand_map=None):
         """Block-sparse self-attention over x [B, L, D] with mask [B, L]
-        (BigBird-style; encoder only)."""
+        (BigBird-style; encoder only). rand_map: optional static numpy
+        override of the random block pattern (HF differential)."""
         from .sparse_attention import block_sparse_attention
 
         cfg = self.cfg
@@ -196,7 +205,7 @@ class MultiHeadAttention(nn.Module):
         v = self.v_proj(x).reshape(*x.shape[:-1], h, hd)
         ctx = block_sparse_attention(
             q, k, v, mask, cfg.block_size, cfg.num_rand_blocks,
-            cfg.num_global_blocks,
+            cfg.num_global_blocks, rand_map=rand_map,
         )
         return self.out_proj(ctx.reshape(*x.shape[:-1], cfg.d_model))
 
@@ -212,9 +221,13 @@ class FFN(nn.Module):
         self.drop = nn.Dropout(self.cfg.dropout)
 
     def __call__(self, x, deterministic=True):
-        act = nn.relu if self.cfg.activation == "relu" else (
-            lambda y: nn.gelu(y, approximate=False)
-        )
+        if self.cfg.activation == "relu":
+            act = nn.relu
+        elif self.cfg.activation == "gelu_new":
+            # HF BigBirdPegasus: tanh-approximate gelu
+            act = nn.gelu
+        else:
+            act = lambda y: nn.gelu(y, approximate=False)  # noqa: E731
         y = act(self.fc1(x))
         y = self.drop(y, deterministic=deterministic)
         return self.fc2(y)
@@ -225,20 +238,21 @@ class EncoderLayer(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.self_attn_layer_norm = nn.LayerNorm(dtype=self.dtype)
-        self.final_layer_norm = nn.LayerNorm(dtype=self.dtype)
+        self.self_attn_layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.final_layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.self_attn = MultiHeadAttention(self.cfg, self.dtype)
         self.ffn = FFN(self.cfg, self.dtype)
         self.drop = nn.Dropout(self.cfg.dropout)
 
-    def __call__(self, x, bias, deterministic=True, mask=None):
+    def __call__(self, x, bias, deterministic=True, mask=None,
+                 rand_map=None):
         ln1, ln2 = self.self_attn_layer_norm, self.final_layer_norm
         drop = self.drop
         sparse = self.cfg.encoder_attention == "block_sparse"
 
         def attend(y):
             if sparse:
-                return self.self_attn.sparse_self(y, mask)
+                return self.self_attn.sparse_self(y, mask, rand_map)
             return self.self_attn(y, y, bias, deterministic)
 
         if self.cfg.pre_norm:
@@ -260,9 +274,9 @@ class DecoderLayer(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.self_attn_layer_norm = nn.LayerNorm(dtype=self.dtype)
-        self.encoder_attn_layer_norm = nn.LayerNorm(dtype=self.dtype)
-        self.final_layer_norm = nn.LayerNorm(dtype=self.dtype)
+        self.self_attn_layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.encoder_attn_layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.final_layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.self_attn = MultiHeadAttention(self.cfg, self.dtype)
         self.encoder_attn = MultiHeadAttention(self.cfg, self.dtype)
         self.ffn = FFN(self.cfg, self.dtype)
@@ -398,12 +412,12 @@ class Seq2Seq(nn.Module):
             for i in range(cfg.decoder_layers)
         ]
         if cfg.pre_norm:
-            self.encoder_ln = nn.LayerNorm(dtype=self.dtype, name="encoder_ln")
-            self.decoder_ln = nn.LayerNorm(dtype=self.dtype, name="decoder_ln")
+            self.encoder_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="encoder_ln")
+            self.decoder_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_ln")
         if cfg.embed_layernorm:
-            self.enc_embed_ln = nn.LayerNorm(dtype=self.dtype,
+            self.enc_embed_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                              name="enc_embed_ln")
-            self.dec_embed_ln = nn.LayerNorm(dtype=self.dtype,
+            self.dec_embed_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                              name="dec_embed_ln")
         if not cfg.tie_lm_head:
             self.lm_head = _dense_cls(cfg)(cfg.vocab_size, use_bias=False,
@@ -444,7 +458,11 @@ class Seq2Seq(nn.Module):
         return logits + jax.lax.stop_gradient(self.final_logits_bias)
 
     # -- public api -------------------------------------------------------
-    def encode(self, input_ids, attention_mask, deterministic=True):
+    def encode(self, input_ids, attention_mask, deterministic=True,
+               rand_maps=None):
+        """rand_maps: optional per-layer list of static numpy random-block
+        maps for block_sparse encoders (HF BigBird seeds its pattern per
+        layer; the differential test injects HF's maps here)."""
         positions = jnp.arange(input_ids.shape[1])[None, :]
         x = self._embed(input_ids, positions,
                         self.enc_pos if self.cfg.learned_positions else None)
@@ -452,8 +470,9 @@ class Seq2Seq(nn.Module):
             x = self.enc_embed_ln(x)
         x = self.dropout_mod(x, deterministic=deterministic)
         bias = _mask_bias(attention_mask, self.dtype)
-        for layer in self.encoder_layers_mods:
-            x = layer(x, bias, deterministic, mask=attention_mask)
+        for i, layer in enumerate(self.encoder_layers_mods):
+            x = layer(x, bias, deterministic, mask=attention_mask,
+                      rand_map=None if rand_maps is None else rand_maps[i])
         if self.cfg.pre_norm:
             x = self.encoder_ln(x)
         return x
@@ -784,8 +803,17 @@ def convert_hf_seq2seq(state_dict: Dict[str, Any],
         for i in range(n_layers):
             hf = f"model.{side}.layers.{i}"
             fl = f"{short}_layer{i}"
-            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
-                dense(f"{hf}.self_attn.{proj}", (fl, "self_attn", proj))
+            if f"{hf}.self_attn.self.query.weight" in state_dict:
+                # BigBirdPegasus encoder naming: self_attn.self.{query,
+                # key,value} + self_attn.output (the out projection)
+                for hf_n, ours in (("self.query", "q_proj"),
+                                   ("self.key", "k_proj"),
+                                   ("self.value", "v_proj"),
+                                   ("output", "out_proj")):
+                    dense(f"{hf}.self_attn.{hf_n}", (fl, "self_attn", ours))
+            else:
+                for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                    dense(f"{hf}.self_attn.{proj}", (fl, "self_attn", proj))
             ln(f"{hf}.self_attn_layer_norm", (fl, "self_attn_layer_norm"))
             if side == "decoder":
                 for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
@@ -798,8 +826,16 @@ def convert_hf_seq2seq(state_dict: Dict[str, Any],
             ln(f"{hf}.final_layer_norm", (fl, "final_layer_norm"))
 
     if cfg.pre_norm:
-        ln("model.encoder.layer_norm", ("encoder_ln",))
-        ln("model.decoder.layer_norm", ("decoder_ln",))
+        if "model.encoder.layer_norm.weight" in state_dict:
+            ln("model.encoder.layer_norm", ("encoder_ln",))
+            ln("model.decoder.layer_norm", ("decoder_ln",))
+        else:
+            # BigBirdPegasus names its FINAL pre-norm LayerNorm
+            # 'layernorm_embedding' (applied after the layer stack,
+            # modeling_bigbird_pegasus.py encoder forward) — not to be
+            # confused with BART's after-embedding LN of the same name
+            ln("model.encoder.layernorm_embedding", ("encoder_ln",))
+            ln("model.decoder.layernorm_embedding", ("decoder_ln",))
     if cfg.embed_layernorm:
         ln("model.encoder.layernorm_embedding", ("enc_embed_ln",))
         ln("model.decoder.layernorm_embedding", ("dec_embed_ln",))
@@ -825,20 +861,38 @@ def beam_search(
     max_len: int = 30,
     length_penalty: float = 1.0,
     enc_hidden_override=None,
+    early_stopping=False,
 ):
     """Static-shape, fully jittable beam search (an upgrade over the
-    reference's greedy/top-k-only decoding).
+    reference's greedy/top-k-only decoding, pegasus_hugface.py:105-146).
 
-    Keeps num_beams live hypotheses per example in a lax.scan over a static
-    [B, n, max_len+1] token buffer (one compiled program, no per-step
-    retraces/dispatches): finished beams are frozen (forced EOS
-    continuation at zero added score) and all candidates compete by
-    length-normalized score sum_logp / len^penalty.
-    Returns (ids [B, max_len], scores [B]) for the best beam.
+    Token-for-token equivalent to HF `generate(num_beams=n,
+    length_penalty=lp, early_stopping=...)` (transformers
+    generation/utils.py `_beam_search`), verified by differential test
+    (tests/test_seq2seq.py). The HF scheme, expressed as one lax.scan:
+
+    - each step expands the n running beams to the top 2n candidates by
+      ACCUMULATED (unnormalized) log-prob;
+    - candidates that finish (EOS, or the max-length step) are banked
+      into a separate finished pool of n, competing by the
+      length-normalized score sum_logp / n_generated^lp frozen at bank
+      time; only candidates ranked in the top n may bank;
+    - the next n running beams are the best candidates with finished
+      ones masked by an additive -1e9;
+    - HF's loop-termination heuristics are replicated as latched gates
+      on banking (a scan can't break early, but once HF would have
+      stopped, the finished pool provably stops changing):
+      `early_stopping=True` blocks banking once all n finished slots are
+      full; False/"never" block via the best-possible-running-score
+      heuristic with HF's exact hypothetical-length choice.
+
+    Returns (ids [B, max_len], scores [B]) for the best finished beam;
+    ids are EOS-padded past the end.
     """
     cfg = model.cfg
     b = input_ids.shape[0]
     n = num_beams
+    n2 = 2 * n  # HF beams_to_keep = max(2, 1 + n_eos) * num_beams
 
     def apply(method, *a, **kw):
         return model.apply(variables, *a, method=method, **kw)
@@ -854,12 +908,22 @@ def beam_search(
     cache = apply(model.init_cache, b * n, max_len, enc)
 
     neg_inf = jnp.asarray(-1e9, jnp.float32)
-    # beam 0 active, others start at -inf so step 1 fans out from beam 0
-    scores = jnp.tile(jnp.asarray([0.0] + [-1e9] * (n - 1)), (b, 1))
-    # static token buffer: slot 0 = start token, slot p+1 written at step p
-    tokens = jnp.full((b, n, max_len + 1), cfg.eos_token_id, jnp.int32)
-    tokens = tokens.at[:, :, 0].set(cfg.decoder_start_token_id)
-    done = jnp.zeros((b, n), bool)
+    # running pool: beam 0 active, others -1e9 so step 1 fans out from it
+    run_scores = jnp.tile(jnp.asarray([0.0] + [-1e9] * (n - 1)), (b, 1))
+    # static token buffers: slot 0 = start token, slot p+1 written at
+    # step p; EOS fill past the end (HF fills with pad — trimmed away in
+    # both cases before use)
+    run_tokens = jnp.full((b, n, max_len + 1), cfg.eos_token_id, jnp.int32)
+    run_tokens = run_tokens.at[:, :, 0].set(cfg.decoder_start_token_id)
+    # finished pool (kept sorted descending by the merge top-k)
+    fin_tokens = run_tokens
+    fin_scores = jnp.full((b, n), -1e9)
+    fin_done = jnp.zeros((b, n), bool)
+    # latched per-batch "running beams could still improve" bit
+    improving = jnp.ones((b, 1), bool)
+    # only candidates ranked in the top n of the 2n may bank (HF
+    # top_num_beam_mask)
+    top_mask = jnp.arange(n2) < n
 
     def gather_beams(tree, beam_idx):
         """Reorder the [B*n, ...] cache by per-batch beam indices [B, n]."""
@@ -872,13 +936,11 @@ def beam_search(
 
         return jax.tree_util.tree_map(g, tree)
 
-    def norm(scores, length):
-        return scores / (length**length_penalty)
-
     def step(carry, pos):
-        tokens, scores, done, cache = carry
+        (run_tokens, run_scores, fin_tokens, fin_scores, fin_done,
+         improving, cache) = carry
         last = jax.lax.dynamic_index_in_dim(
-            tokens, pos, axis=2, keepdims=False
+            run_tokens, pos, axis=2, keepdims=False
         ).reshape(b * n, 1)
         logits, cache = apply(
             model.decode_step, last, pos, cache, enc, mask, max_len=max_len
@@ -886,47 +948,71 @@ def beam_search(
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         logp = logp.reshape(b, n, -1)
         v = logp.shape[-1]
-        # finished beams contribute exactly one candidate: forced EOS, no
-        # added score
-        eos_only = jnp.full((b, n, v), neg_inf).at[:, :, cfg.eos_token_id].set(0.0)
-        logp = jnp.where(done[:, :, None], eos_only, logp)
 
-        cand = scores[:, :, None] + logp  # [b, n, v]
-        length = pos + 1
-        cand_norm = norm(cand, length.astype(jnp.float32))
-        top_norm, flat_idx = jax.lax.top_k(cand_norm.reshape(b, n * v), n)
+        acc = (run_scores[:, :, None] + logp).reshape(b, n * v)
+        top_lp, flat_idx = jax.lax.top_k(acc, n2)  # [b, 2n]
         beam_idx = flat_idx // v
         tok = (flat_idx % v).astype(jnp.int32)
+        top_seqs = jnp.take_along_axis(run_tokens, beam_idx[:, :, None],
+                                       axis=1)
+        top_seqs = jax.lax.dynamic_update_index_in_dim(
+            top_seqs, tok[:, :, None], pos + 1, axis=2
+        )
+        # HF stopping criteria on each candidate: EOS last token, or the
+        # sequence reaches max_length at this step
+        hits = (tok == cfg.eos_token_id) | (pos == max_len - 1)
 
-        new_scores = jnp.take_along_axis(
-            cand.reshape(b, n * v), flat_idx, axis=1
-        )
-        tokens = jnp.take_along_axis(
-            tokens, beam_idx[:, :, None], axis=1
-        )
-        tokens = jax.lax.dynamic_update_index_in_dim(
-            tokens, tok[:, :, None], pos + 1, axis=2
-        )
-        done = jnp.take_along_axis(done, beam_idx, axis=1) | (
-            tok == cfg.eos_token_id
-        )
-        cache = gather_beams(cache, beam_idx)
-        return (tokens, new_scores, done, cache), None
+        # running beams for the next iteration: finished candidates get
+        # an ADDITIVE -1e9 (HF semantics — preserves order among them)
+        run_lp = top_lp + hits.astype(jnp.float32) * -1e9
+        _, next_idx = jax.lax.top_k(run_lp, n)
+        new_run_tokens = jnp.take_along_axis(top_seqs, next_idx[:, :, None],
+                                             axis=1)
+        new_run_scores = jnp.take_along_axis(run_lp, next_idx, axis=1)
+        cand_beam = jnp.take_along_axis(beam_idx, next_idx, axis=1)
+        cache = gather_beams(cache, cand_beam)
 
-    (tokens, scores, done, _), _ = jax.lax.scan(
-        step, (tokens, scores, done, cache), jnp.arange(max_len)
+        # finished-pool update (HF _update_finished_beams, same order):
+        # normalized score frozen at bank time; banking gated by
+        # early-stopping state
+        norm_lp = top_lp / ((pos + 1).astype(jnp.float32) ** length_penalty)
+        full = jnp.all(fin_done, axis=-1, keepdims=True)
+        if early_stopping is True:
+            norm_lp = norm_lp + full.astype(jnp.float32) * -1e9
+        norm_lp = norm_lp + (~improving).astype(jnp.float32) * -1e9
+        just_fin = hits & top_mask[None, :]
+        norm_lp = norm_lp + (~just_fin).astype(jnp.float32) * -1e9
+        m_scores = jnp.concatenate([fin_scores, norm_lp], axis=1)
+        m_tokens = jnp.concatenate([fin_tokens, top_seqs], axis=1)
+        m_done = jnp.concatenate([fin_done, just_fin], axis=1)
+        _, m_idx = jax.lax.top_k(m_scores, n)
+        fin_scores = jnp.take_along_axis(m_scores, m_idx, axis=1)
+        fin_tokens = jnp.take_along_axis(m_tokens, m_idx[:, :, None], axis=1)
+        fin_done = jnp.take_along_axis(m_done, m_idx, axis=1)
+
+        # early-stop heuristic AFTER the length increment (HF
+        # _check_early_stop_heuristic): can the best running beam still
+        # beat the worst finished one?
+        if early_stopping == "never" and length_penalty > 0.0:
+            best_len = jnp.float32(max_len)
+        else:
+            best_len = (pos + 1).astype(jnp.float32)
+        best_possible = new_run_scores[:, :1] / best_len**length_penalty
+        worst_fin = jnp.where(
+            fin_done, jnp.min(fin_scores, axis=1, keepdims=True), neg_inf
+        )
+        improving = improving & jnp.any(best_possible > worst_fin, axis=-1,
+                                        keepdims=True)
+
+        return (new_run_tokens, new_run_scores,
+                fin_tokens, fin_scores, fin_done, improving, cache), None
+
+    (_, _, fin_tokens, fin_scores, _, _, _), _ = jax.lax.scan(
+        step,
+        (run_tokens, run_scores, fin_tokens, fin_scores, fin_done,
+         improving, cache),
+        jnp.arange(max_len),
     )
 
-    lengths = jnp.argmax(
-        jnp.concatenate(
-            [tokens[:, :, 1:] == cfg.eos_token_id,
-             jnp.ones((b, n, 1), bool)], axis=2
-        ),
-        axis=2,
-    ) + 1  # tokens incl. first EOS
-    final = norm(scores, lengths.astype(jnp.float32))
-    best = jnp.argmax(final, axis=1)
-    out = jnp.take_along_axis(
-        tokens[:, :, 1:], best[:, None, None], axis=1
-    )[:, 0]
-    return out, jnp.take_along_axis(final, best[:, None], 1)[:, 0]
+    # finished pool is sorted descending — slot 0 is HF's returned beam
+    return fin_tokens[:, 0, 1:], fin_scores[:, 0]

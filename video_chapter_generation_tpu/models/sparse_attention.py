@@ -2,36 +2,55 @@
 
 Covers the reference's long-context option PegasusBigBirdHugface
 (model/lang/pegasus_bigbird.py:19 — 'google/bigbird-pegasus-large-arxiv'):
-each query block attends to its sliding window (left/self/right), the
-global block(s), and a deterministic set of "random" blocks, giving
-O(L * w * block) instead of O(L^2).
+sparse encoder self-attention at O(L * w * block) instead of O(L^2).
+
+The layout reproduces HF BigBirdPegasus's ITC scheme EXACTLY (verified by
+differential test vs `BigBirdPegasusBlockSparseAttention` at
+num_rand_blocks=0 — tests/test_sparse_attention.py):
+
+- query block 0 and query block nb-1 attend the FULL sequence;
+- key blocks 0 and nb-1 are global: every query block attends them;
+- query block 1 attends {0, 1, 2, nb-1}; query block nb-2 attends
+  {0, nb-3, nb-2, nb-1}; middle blocks i attend {0, i-1, i, i+1, nb-1};
+- plus num_rand_blocks "random" blocks per query block. HF draws these
+  per-head/per-layer from a numpy RNG plan; here they are a
+  seed-derived static map shared across heads (deterministic stand-in —
+  exact HF parity therefore holds at num_rand_blocks=0);
+- padding enters as an additive -10000 penalty on scaled scores (HF's
+  attn_mask_penalty) and padded QUERY rows are zeroed on the way out.
 
 Implementation notes (TPU-first):
 - all gathers are static-index jnp.take along the block axis (shapes are
   static; the random pattern is a seed-derived constant folded at trace
   time), so XLA lowers to cheap dynamic-slices feeding one batched MXU
   attention over the gathered keys;
-- global blocks also ATTEND to everything (full row), matching BigBird's
-  ITC layout with the first block global.
+- duplicate attended blocks are deduplicated with a validity mask (HF's
+  per-row concatenations never contain duplicates, so dedup + mask is
+  exactly its softmax domain).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+# HF BigBirdPegasus masks padding with an additive -10000 on the scaled
+# scores (modeling_bigbird_pegasus.py `attn_mask_penalty`); exp(-10000)
+# underflows to exactly 0 in f32, so this matches a hard mask while
+# keeping bit-parity with HF.
+MASK_PENALTY = -10000.0
+
 
 def _random_block_map(n_blocks: int, num_rand: int, seed: int) -> np.ndarray:
     """[n_blocks, num_rand] static random attended-block indices, excluding
-    each query block's own window and the global block."""
+    each query block's own window and the global first/last blocks."""
     rng = np.random.default_rng(seed)
     out = np.zeros((n_blocks, max(num_rand, 0)), np.int32)
     for qb in range(n_blocks):
-        banned = {0, qb - 1, qb, qb + 1}
+        banned = {0, qb - 1, qb, qb + 1, n_blocks - 1}
         candidates = [b for b in range(n_blocks) if b not in banned]
         if not candidates:
             candidates = [qb]
@@ -43,6 +62,13 @@ def _random_block_map(n_blocks: int, num_rand: int, seed: int) -> np.ndarray:
     return out
 
 
+def _full_attention(q, k, v, mask, scale):
+    att = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    att = att + (1.0 - mask[:, None, None, :].astype(att.dtype)) * MASK_PENALTY
+    att = jax.nn.softmax(att, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", att, v)
+
+
 def block_sparse_attention(
     q: jax.Array,
     k: jax.Array,
@@ -52,9 +78,22 @@ def block_sparse_attention(
     num_rand_blocks: int = 2,
     num_global_blocks: int = 1,
     seed: int = 0,
+    rand_map: Optional[np.ndarray] = None,
 ) -> jax.Array:
     """q,k,v: [B, L, H, hd]; mask: [B, L] (1 keep / 0 pad) or None.
-    Returns [B, L, H, hd]. L must be divisible by block_size."""
+    Returns [B, L, H, hd]. L must be divisible by block_size.
+
+    num_global_blocks is part of the stable API but the HF ITC layout
+    fixes globals at one block on EACH end; only 1 is supported.
+
+    rand_map: optional [nb, num_rand_blocks] numpy override of the
+    random attended-block indices per query block (rows 0 and nb-1
+    unused) — used by the HF differential test to inject HF's own
+    np.random plan; production uses the seed-derived default.
+    """
+    assert num_global_blocks == 1, (
+        "HF BigBirdPegasus ITC layout: exactly one global block at each "
+        f"end (got num_global_blocks={num_global_blocks})")
     b, l, h, hd = q.shape
     assert l % block_size == 0, (l, block_size)
     nb = l // block_size
@@ -63,59 +102,67 @@ def block_sparse_attention(
     if mask is None:
         mask = jnp.ones((b, l), jnp.int32)
 
-    if nb <= 3 + num_global_blocks + num_rand_blocks:
-        # sparse pattern would cover everything — fall back to full attn
-        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        att = att + (1.0 - mask[:, None, None, :].astype(att.dtype)) * -1e9
-        att = jax.nn.softmax(att, axis=-1)
-        return jnp.einsum("bhqk,bkhd->bqhd", att, v)
+    # HF's encoder falls back to full attention when the sparse pattern
+    # would cover everything (seq_len <= (5 + 2*rand) * block, i.e. the
+    # band+globals span the row); same rule here at block granularity.
+    if nb <= 5 + 2 * num_rand_blocks:
+        return _full_attention(q, k, v, mask, scale)
 
     qb = q.reshape(b, nb, block_size, h, hd)
     kb = k.reshape(b, nb, block_size, h, hd)
     vb = v.reshape(b, nb, block_size, h, hd)
     mb = mask.reshape(b, nb, block_size)
 
-    # attended block ids per query block (deduplicated so softmax never
-    # counts a key twice; invalid padding slots masked): [nb, n_att]
-    rand_map = (
-        _random_block_map(nb, num_rand_blocks, seed)
-        if num_rand_blocks > 0 else None
-    )
+    # attended block ids per sparse query block 1..nb-2 (deduplicated so
+    # softmax never counts a key twice; invalid padding slots masked)
+    if rand_map is None:
+        rand_map = (
+            _random_block_map(nb, num_rand_blocks, seed)
+            if num_rand_blocks > 0 else None
+        )
     rows, valids = [], []
-    n_att = 3 + num_global_blocks + num_rand_blocks
-    for q_block in range(nb):
-        cand = [max(q_block - 1, 0), q_block, min(q_block + 1, nb - 1)]
-        cand += list(range(num_global_blocks))
-        if rand_map is not None:
-            cand += list(rand_map[q_block])
-        uniq = list(dict.fromkeys(cand))
+    n_att = 5 + num_rand_blocks
+    for q_block in range(1, nb - 1):
+        # deterministic part {global-first, band, global-last}: HF's
+        # per-row concatenations merge band/global overlap at the edge
+        # rows (its row-1 key set is [k0,k1,k2,k_last] — one k0), so
+        # dedup applies here. Rand blocks append VERBATIM: HF gathers
+        # them unconditionally, double-counting a key block when its
+        # np.random plan collides with the window/globals — keep that
+        # exact softmax domain.
+        det = list(dict.fromkeys(
+            [0, q_block - 1, q_block, q_block + 1, nb - 1]))
+        rand = list(rand_map[q_block]) if rand_map is not None else []
+        uniq = det + rand
         valid = [1] * len(uniq) + [0] * (n_att - len(uniq))
         uniq = uniq + [uniq[0]] * (n_att - len(uniq))
         rows.append(uniq)
         valids.append(valid)
-    att_ids = jnp.asarray(np.asarray(rows, np.int32))  # [nb, n_att]
-    valid = jnp.asarray(np.asarray(valids, np.int32))  # [nb, n_att]
+    att_ids = jnp.asarray(np.asarray(rows, np.int32))  # [nb-2, n_att]
+    valid = jnp.asarray(np.asarray(valids, np.int32))  # [nb-2, n_att]
 
-    # gather attended keys/values/masks: [b, nb, n_att*bs, h, hd]
+    # gather attended keys/values/masks: [b, nb-2, n_att*bs, h, hd]
     kg = jnp.take(kb, att_ids, axis=1).reshape(
-        b, nb, n_att * block_size, h, hd
+        b, nb - 2, n_att * block_size, h, hd
     )
     vg = jnp.take(vb, att_ids, axis=1).reshape(
-        b, nb, n_att * block_size, h, hd
+        b, nb - 2, n_att * block_size, h, hd
     )
-    mg = jnp.take(mb, att_ids, axis=1)  # [b, nb, n_att, bs]
-    mg = (mg * valid[None, :, :, None]).reshape(b, nb, n_att * block_size)
+    mg = jnp.take(mb, att_ids, axis=1)  # [b, nb-2, n_att, bs]
+    mg = (mg * valid[None, :, :, None]).reshape(b, nb - 2,
+                                                n_att * block_size)
 
-    att = jnp.einsum("bnqhd,bnkhd->bnhqk", qb, kg) * scale
-    att = att + (1.0 - mg[:, :, None, None, :].astype(att.dtype)) * -1e9
+    qs = qb[:, 1:-1]  # sparse query blocks
+    att = jnp.einsum("bnqhd,bnkhd->bnhqk", qs, kg) * scale
+    att = att + (1.0 - mg[:, :, None, None, :].astype(att.dtype)) \
+        * MASK_PENALTY
     att = jax.nn.softmax(att, axis=-1)
     out = jnp.einsum("bnhqk,bnkhd->bnqhd", att, vg)
-    out = out.reshape(b, l, h, hd)
+    out = out.reshape(b, (nb - 2) * block_size, h, hd)
 
-    # global blocks attend to the FULL sequence (overwrite their rows)
-    g = num_global_blocks * block_size
-    att_g = jnp.einsum("bqhd,bkhd->bhqk", q[:, :g], k) * scale
-    att_g = att_g + (1.0 - mask[:, None, None, :].astype(att_g.dtype)) * -1e9
-    att_g = jax.nn.softmax(att_g, axis=-1)
-    out_g = jnp.einsum("bhqk,bkhd->bqhd", att_g, v)
-    return jnp.concatenate([out_g, out[:, g:]], axis=1)
+    # first and last query blocks attend the FULL sequence
+    out_first = _full_attention(q[:, :block_size], k, v, mask, scale)
+    out_last = _full_attention(q[:, -block_size:], k, v, mask, scale)
+    out = jnp.concatenate([out_first, out, out_last], axis=1)
+    # HF zeroes padded QUERY rows (context_layer * from_mask)
+    return out * mask[:, :, None, None].astype(out.dtype)
