@@ -41,6 +41,9 @@ def main(argv=None):
     from video_chapter_generation_tpu.train.tasks import SegmentWindowTask
 
     on_tpu = jax.default_backend() == "tpu"
+    task_name = opt("--task", "segment", str)
+    if task_name == "title":
+        return bench_title(argv, on_tpu)
     if on_tpu:
         B, ITERS, tiny, hw = opt("--b", 4, int), 4, False, 224
     else:  # smoke mode off-TPU
@@ -148,6 +151,129 @@ def main(argv=None):
         "frames_per_sec": round(frames_per_sec, 1),
         "batch": B, "window": W, "segment": seg,
         "loss": round(final_loss, 4),
+    }))
+
+
+def bench_title(argv, on_tpu):
+    """Title-model (Pegasus-large) train-step throughput — the
+    reference's longest job (train_chapter_title_gen.py:158-169: 440
+    epochs, batch 16, encoder 512 / decoder 30, masked CE + AdamW).
+
+    Flags: --b BATCH (default 16), --dtype bf16|f32, --remat,
+    --accum N, --enc-len L, --dec-len L, --tiny-vocab (8k instead of
+    the real 96103 — isolates the vocab-CE cost).
+    Same fori_loop + final-loss-fetch methodology as the segment bench.
+    """
+
+    def opt(flag, default, cast):
+        if flag in argv:
+            i = argv.index(flag)
+            return cast(argv[i + 1])
+        return default
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from video_chapter_generation_tpu.core.config import Config
+    from video_chapter_generation_tpu.models.seq2seq import (
+        Seq2Seq,
+        Seq2SeqConfig,
+    )
+    from video_chapter_generation_tpu.train.loop import create_train_state
+    from video_chapter_generation_tpu.train.objectives import (
+        seq2seq_title_loss,
+    )
+    from video_chapter_generation_tpu.train.optim import make_optimizer
+
+    if on_tpu:
+        B, ITERS = opt("--b", 16, int), 4
+        enc_len = opt("--enc-len", 512, int)
+        dec_len = opt("--dec-len", 30, int)
+        s2s_cfg = Seq2SeqConfig.pegasus_large()
+    else:  # smoke
+        B, ITERS, enc_len, dec_len = 2, 2, 32, 8
+        s2s_cfg = Seq2SeqConfig.tiny()
+    if "--tiny-vocab" in argv:
+        s2s_cfg = dataclasses.replace(s2s_cfg, vocab_size=8192)
+    if "--remat" in argv:
+        s2s_cfg = dataclasses.replace(s2s_cfg, remat=True)
+    dtype = opt("--dtype", "bf16", str)
+    accum = opt("--accum", 1, int)
+    dt = jnp.bfloat16 if dtype in ("bf16", "bfloat16") else jnp.float32
+
+    model = Seq2Seq(s2s_cfg, dtype=dt)
+    cfg = Config()
+    enc0 = jnp.ones((1, 8), jnp.int32)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), enc0, jnp.ones_like(enc0), enc0[:, :4]))()
+    ocfg = dataclasses.replace(
+        cfg.optim, gradient_accumulation_steps=accum)
+    tx = make_optimizer(ocfg, variables["params"])
+    state = create_train_state(variables, tx)
+
+    rng = np.random.default_rng(0)
+    batches = {
+        "text_ids": jnp.asarray(rng.integers(
+            3, s2s_cfg.vocab_size, (2, B, enc_len)).astype(np.int32)),
+        "dec_in": jnp.asarray(rng.integers(
+            3, s2s_cfg.vocab_size, (2, B, dec_len)).astype(np.int32)),
+        "dec_tgt": jnp.asarray(rng.integers(
+            3, s2s_cfg.vocab_size, (2, B, dec_len)).astype(np.int32)),
+    }
+
+    def loss_fn(params, batch, key):
+        logits = model.apply(
+            {"params": params}, batch["text_ids"],
+            jnp.ones_like(batch["text_ids"]), batch["dec_in"],
+            jnp.ones_like(batch["dec_in"]),
+            deterministic=False, rngs={"dropout": key},
+        )
+        loss, _ = seq2seq_title_loss(
+            logits, batch["dec_tgt"], jnp.ones_like(batch["dec_in"]))
+        return loss
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(state, batches, key):
+        def body(k, carry):
+            state, acc = carry
+            batch = {name: jax.lax.dynamic_index_in_dim(v, k % 2, 0, False)
+                     for name, v in batches.items()}
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, batch, jax.random.fold_in(key, k))
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+            return state, acc + loss
+        state, acc = jax.lax.fori_loop(0, ITERS * accum, body,
+                                       (state, jnp.float32(0)))
+        return state, acc
+
+    key = jax.random.PRNGKey(0)
+    state, acc = run(state, batches, key)
+    float(acc)  # compile + warm
+
+    t0 = time.perf_counter()
+    state, acc = run(state, batches, key)
+    final_loss = float(acc)  # host fetch INSIDE the timed window
+    dt_s = time.perf_counter() - t0
+    micro = ITERS * accum
+    print(json.dumps({
+        "metric": "title_train_step_throughput",
+        "value": round(micro / dt_s, 3),
+        "unit": "microbatch_steps/sec/chip",
+        "examples_per_sec": round(B * micro / dt_s, 1),
+        "tokens_per_sec": round(B * (enc_len + dec_len) * micro / dt_s, 1),
+        "batch": B, "enc_len": enc_len, "dec_len": dec_len,
+        "dtype": dtype, "remat": s2s_cfg.remat, "accum": accum,
+        "vocab": s2s_cfg.vocab_size,
+        "loss": round(final_loss / micro, 4),
     }))
 
 

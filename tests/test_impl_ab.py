@@ -1,0 +1,65 @@
+"""Task-metric impl A/B (CPU-cheap slice, asserted thresholds).
+
+Drives tools/impl_ab_eval.py's harness on a small LEARNABLE synthetic
+corpus: train the two-stream segment model through cli.train_segment to
+non-trivial mAP, then A/B SERVING paths through the real
+cli.eval_segment (bf16 vs f32 compute on the SAME checkpoint), and a
+title model through cli.train_title + cli.eval_title (bf16 vs
+--int8_titles). Training-impl pairs (tap3 vs xla vs the TPU trunk) and
+the int8 vision trunk run in the tool itself (PARITY.md records those
+tables); here we assert the serving-equivalence bands that must hold on
+any platform.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+pytestmark = pytest.mark.slow  # two real trainings + four CLI evals
+
+
+@pytest.fixture(scope="module")
+def ab(tmp_path_factory):
+    from tools.impl_ab_eval import (
+        build_corpus,
+        run_segment_ab,
+        run_title_ab,
+    )
+
+    root = str(tmp_path_factory.mktemp("ab_corpus"))
+    workdir = os.path.join(root, "work")
+    os.makedirs(workdir, exist_ok=True)
+    paths, hw = build_corpus(root, tpu=False, n_train=8, n_val=2, n_test=3,
+                             video_sec=100, n_chapters=4)
+    results = run_segment_ab(
+        paths, workdir, hw, tpu=False, impls=["tap3"],
+        serve_modes=[("f32", [], ['model.compute_dtype="float32"'])],
+    )
+    results.update(run_title_ab(paths, workdir, hw, tpu=False))
+    return results
+
+
+def test_segment_training_reaches_nontrivial_map(ab):
+    """The learnable corpus must be genuinely learnable through the real
+    train CLI: mAP well above the ~0.1-0.15 random floor."""
+    assert ab["train:tap3"]["mAP"] > 0.3, ab
+
+
+def test_serving_dtype_equivalence(ab):
+    """f32 vs bf16 serving of the SAME checkpoint through the real eval
+    CLI: task metrics agree within a tight band."""
+    a, b = ab["train:tap3"], ab["serve:f32"]
+    assert abs(a["mAP"] - b["mAP"]) < 0.03, (a, b)
+    assert abs(a["f1_3"] - b["f1_3"]) < 0.1, (a, b)
+
+
+def test_title_int8_serving_equivalence(ab):
+    """--int8_titles vs bf16 on the SAME title checkpoint: token accuracy
+    and ROUGE-1 agree within a band; teacher-forced loss close."""
+    a, b = ab["title:bf16"], ab["title:int8"]
+    assert abs(a["test_acc"] - b["test_acc"]) < 0.1, (a, b)
+    assert abs(a["rouge-1"] - b["rouge-1"]) < 0.1, (a, b)
+    assert abs(a["test_loss"] - b["test_loss"]) < 0.3, (a, b)

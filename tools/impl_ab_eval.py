@@ -71,7 +71,7 @@ def parse_title_result(path: str) -> dict:
     return out
 
 
-def build_corpus(root: str, tpu: bool, n_train=10, n_val=2, n_test=4,
+def build_corpus(root: str, tpu: bool, n_train=16, n_val=2, n_test=6,
                  video_sec=120, n_chapters=5, seed=7):
     from video_chapter_generation_tpu.data.corpus import VideoCorpus
     from video_chapter_generation_tpu.data.synth import (
@@ -163,7 +163,7 @@ def run_segment_ab(paths, workdir, hw, tpu, impls, seed=123,
     clip_frames = 8 if tiny else 16
     text_len = 24 if tiny else 100
     batch = 4 if tiny else 8
-    epochs = 60 if tiny else 120
+    epochs = 150 if tiny else 120
     if quick:
         epochs = 3
     lr = "3e-4" if tiny else "1e-4"
@@ -229,14 +229,14 @@ def run_title_ab(paths, workdir, hw, tpu, seed=123, int8=True,
     in_len = 64 if tiny else 256
     dec_len = 8 if tiny else 12
     batch = 8
-    epochs = 3 if quick else (40 if tiny else 60)
+    epochs = 3 if quick else (400 if tiny else 60)
     ckpt = os.path.join(workdir, "ckpt_title")
     ov = common_overrides(
         paths, workdir, hw, clip_frames=8, text_len=24, batch=batch,
         epochs=epochs, seed=seed, ckpt_dir=ckpt,
         extra=[f"data.title_input_len={in_len}",
                f"data.title_decode_len={dec_len}",
-               "optim.learning_rate=3e-4"],
+               f"optim.learning_rate={'1e-3' if tiny else '3e-4'}"],
     )
     args = ["--spm_tsv", paths["tsv"]] + (["--tiny"] if tiny else []) + ov
     print("\n=== train title ===", flush=True)

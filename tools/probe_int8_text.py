@@ -19,10 +19,26 @@ from tools.profile_model import capture, load_device_events, summarize  # noqa: 
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
-    L, D, F, B = 16, 1024, 4096, 8
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", default="decode",
+                    choices=["decode", "bert"],
+                    help="decode: Pegasus decode (8 tokens/step, "
+                    "weight-streaming-bound). bert: the boundary "
+                    "scorer's BERT-base encode shape (batch 16 x 100 "
+                    "tokens = M 1600, D 768, F 3072, 12 layers) — "
+                    "compute-bound, so int8 weights are NOT expected "
+                    "to win; this run documents the measurement.")
+    args = ap.parse_args()
+
+    if args.shape == "bert":
+        L, D, F, B = 12, 768, 3072, 1600
+    else:
+        L, D, F, B = 16, 1024, 4096, 8
     rng = np.random.default_rng(0)
     w1 = [jnp.asarray(rng.standard_normal((D, F)), jnp.bfloat16)
           for _ in range(L)]
@@ -67,7 +83,9 @@ def main():
         print(f"\n===== {name} =====")
         total = summarize(evs, top=8)
         print(f"per step: {total/30:.4f} ms")
-    print(f"\nweights/step: bf16 {2*L*D*F*2/1e6:.0f} MB, "
+    flops = 2 * 2 * L * D * F * B * 2  # 2 matmuls/layer, 2 flops/MAC
+    print(f"\nMXU floor at 197 TFLOPs bf16: {flops/197e12*1e3:.3f} ms/step")
+    print(f"weights/step: bf16 {2*L*D*F*2/1e6:.0f} MB, "
           f"i8 {2*L*D*F/1e6:.0f} MB; HBM floor at 819GB/s: "
           f"{2*L*D*F*2/819e9*1e3:.3f} / {2*L*D*F/819e9*1e3:.3f} ms")
 

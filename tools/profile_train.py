@@ -38,11 +38,22 @@ def main():
                          "normalize + space-to-depth) instead of the "
                          "uint8 s2d production contract")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--task", default="segment",
+                    choices=["segment", "title"])
+    ap.add_argument("--remat", action="store_true",
+                    help="title task: rematerialized encoder/decoder "
+                         "layers (Seq2SeqConfig.remat)")
+    ap.add_argument("--tiny-vocab", action="store_true",
+                    help="title task: 8k vocab instead of 96103 — "
+                         "isolates the vocab-CE cost")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import optax
+
+    if args.task == "title":
+        return profile_title(args)
 
     if args.no_trunk:
         import video_chapter_generation_tpu.models.resnet as _rn
@@ -135,6 +146,88 @@ def main():
     total = summarize(evs, args.top)
     frames = B * W * seg
     print(f"\n{frames} frames/step -> {1e3 * frames / total:.0f} frames/s "
+          f"(device-time bound, dtype={args.dtype})")
+    if args.keep:
+        print("trace:", trace_dir)
+
+
+def profile_title(args):
+    """Per-HLO profile of ONE Pegasus-large title train step exactly as
+    bench_train.py --task title runs it (masked CE + AdamW, bf16)."""
+    import dataclasses
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from video_chapter_generation_tpu.core.config import Config
+    from video_chapter_generation_tpu.models.seq2seq import (
+        Seq2Seq,
+        Seq2SeqConfig,
+    )
+    from video_chapter_generation_tpu.train.loop import create_train_state
+    from video_chapter_generation_tpu.train.objectives import (
+        seq2seq_title_loss,
+    )
+    from video_chapter_generation_tpu.train.optim import make_optimizer
+
+    B, enc_len, dec_len = args.b, 512, 30
+    s2s_cfg = Seq2SeqConfig.pegasus_large()
+    if args.tiny_vocab:
+        s2s_cfg = dataclasses.replace(s2s_cfg, vocab_size=8192)
+    if args.remat:
+        s2s_cfg = dataclasses.replace(s2s_cfg, remat=True)
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = Seq2Seq(s2s_cfg, dtype=dt)
+    enc0 = jnp.ones((1, 8), jnp.int32)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), enc0, jnp.ones_like(enc0), enc0[:, :4]))()
+    tx = make_optimizer(Config().optim, variables["params"])
+    state = create_train_state(variables, tx)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "text_ids": jnp.asarray(rng.integers(
+            3, s2s_cfg.vocab_size, (B, enc_len)).astype(np.int32)),
+        "dec_in": jnp.asarray(rng.integers(
+            3, s2s_cfg.vocab_size, (B, dec_len)).astype(np.int32)),
+        "dec_tgt": jnp.asarray(rng.integers(
+            3, s2s_cfg.vocab_size, (B, dec_len)).astype(np.int32)),
+    }
+
+    def loss_fn(params, batch, key):
+        logits = model.apply(
+            {"params": params}, batch["text_ids"],
+            jnp.ones_like(batch["text_ids"]), batch["dec_in"],
+            jnp.ones_like(batch["dec_in"]),
+            deterministic=False, rngs={"dropout": key},
+        )
+        return seq2seq_title_loss(
+            logits, batch["dec_tgt"], jnp.ones_like(batch["dec_in"]))[0]
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), loss
+
+    key = jax.random.PRNGKey(0)
+    state, loss = step(state, batch, key)
+    float(loss)  # compile + warm
+
+    trace_dir = tempfile.mkdtemp(prefix="vcgtitle_")
+    with jax.profiler.trace(trace_dir):
+        state, loss = step(state, batch, key)
+        float(loss)
+    evs = load_device_events(trace_dir)
+    total = summarize(evs, args.top)
+    print(f"\nB={B} enc={enc_len} dec={dec_len} vocab={s2s_cfg.vocab_size} "
+          f"remat={s2s_cfg.remat} -> {1e3 * B / total:.1f} examples/s "
           f"(device-time bound, dtype={args.dtype})")
     if args.keep:
         print("trace:", trace_dir)

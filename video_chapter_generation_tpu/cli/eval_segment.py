@@ -44,17 +44,23 @@ def main(argv=None):
     cfg, args = parse_config(argv, "evaluate boundary model")
     tokenizer = _tokenizer_from_clips(cfg, args)
 
+    # frame resolution must match the training contract (train_segment:
+    # 64px for --tiny, 224 otherwise) — a resolution mismatch silently
+    # destroys the vision stream's features at eval
+    hw = 64 if args.tiny else 224
     if cfg.model.kind in ("two_stream_window",):
         ds = InferWindowClipDataset.from_json(
             cfg.data.test_clips_json, tokenizer,
             clip_frame_num=cfg.data.clip_frame_num,
             max_text_len=cfg.data.max_text_len,
             window_size=cfg.data.window_size, mode=cfg.model.data_mode,
+            hw=hw,
         )
     else:
         ds = InferClipDataset.from_json(
             cfg.data.test_clips_json, tokenizer,
             max_text_len=cfg.data.max_text_len, mode=cfg.model.data_mode,
+            hw=hw,
         )
 
     calib = None
@@ -122,13 +128,14 @@ def build_score_fn(cfg, args, tokenizer, mesh=None, calib_clips=None):
     from ..train.tasks import SegmentTask, SegmentTextTask, SegmentWindowTask
 
     kind = cfg.model.kind
+    hw = 64 if args.tiny else 224  # match train_segment's frame contract
     if kind == "text":
         task = SegmentTextTask(cfg, tiny=args.tiny,
                                vocab_size=tokenizer.vocab_size)
     elif kind == "two_stream":
-        task = SegmentTask(cfg, tiny=args.tiny)
+        task = SegmentTask(cfg, tiny=args.tiny, hw=hw)
     else:
-        task = SegmentWindowTask(cfg, tiny=args.tiny)
+        task = SegmentWindowTask(cfg, tiny=args.tiny, hw=hw)
 
     variables = task.init_variables()
     ckpt = CheckpointManager(cfg.train.ckpt_dir)

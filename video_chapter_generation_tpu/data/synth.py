@@ -114,6 +114,8 @@ def make_synth_corpus_on_disk(
         "n_videos": n_videos, "video_sec": video_sec, "hw": hw,
         "seed": seed, "quality": quality, "n_chapters": n_chapters,
         "learnable": learnable, "splits": splits,
+        # bump to invalidate corpora built by older generator versions
+        "synth_version": 2,
     }
     man_path = os.path.join(root, "manifest.json")
     img_dir = os.path.join(root, "frames")
@@ -163,7 +165,11 @@ def make_synth_corpus_on_disk(
         ]
         lines = []
         for k, s in enumerate(starts):
-            words = (f"chapter {kws[k][0]} {kws[k][1]}" if learnable
+            # learnable titles are corpus-vocabulary words only (they
+            # recur in the chapter's subtitles, so a title model can
+            # learn to extract them and corpus-built tokenizers encode
+            # them as whole pieces)
+            words = (f"{kws[k][0]} {kws[k][1]}" if learnable
                      else f"chapter {k} {_WORDS[k % len(_WORDS)]}")
             lines.append(f"{s // 60}:{s % 60:02d} {words}")
         rows.append((vid, f"synthetic video {v}", float(video_sec),

@@ -67,6 +67,10 @@ class Seq2SeqConfig:
     # float checkpoint. Decode is weight-streaming-bound, so this ~halves
     # the per-token device time vs bf16 params (PERF.md round 3).
     weight_quant: bool = False
+    # training: rematerialize each encoder/decoder layer (activations
+    # recomputed in the backward pass — trades FLOPs for HBM; lets the
+    # Pegasus-large title finetune run bigger batches, PERF.md round 4)
+    remat: bool = False
     # serving: int8 cross-attention K/V cache. At real title buckets the
     # decode step is bound by re-streaming the encoder K/V every token
     # (B x 512 x d per layer pair — ~2/3 of the while-loop time at B=32,
@@ -403,12 +407,18 @@ class Seq2Seq(nn.Module):
             self.sin_pos = jnp.asarray(
                 sinusoidal_positions(cfg.max_positions, cfg.d_model)
             )
+        enc_cls, dec_cls = EncoderLayer, DecoderLayer
+        if cfg.remat:
+            # static argnums count self as 0; 'deterministic' must stay
+            # static (it selects the dropout branch)
+            enc_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+            dec_cls = nn.remat(DecoderLayer, static_argnums=(5,))
         self.encoder_layers_mods = [
-            EncoderLayer(cfg, self.dtype, name=f"enc_layer{i}")
+            enc_cls(cfg, self.dtype, name=f"enc_layer{i}")
             for i in range(cfg.encoder_layers)
         ]
         self.decoder_layers_mods = [
-            DecoderLayer(cfg, self.dtype, name=f"dec_layer{i}")
+            dec_cls(cfg, self.dtype, name=f"dec_layer{i}")
             for i in range(cfg.decoder_layers)
         ]
         if cfg.pre_norm:
