@@ -228,3 +228,47 @@ def test_eval_title_cli(disk_corpus, tmp_path, monkeypatch):
         + ["--tiny"]
     )
     assert (tmp_path / "test_results/chapter_title_gen/gt_batch_2.txt").exists()
+
+
+def test_title_arch_selection():
+    """--title_arch maps to the three reference title families
+    (train_chapter_title_gen.py model_type pegasus|bigbird|bart) at both
+    sizes; bigbird = block-sparse long-context encoder."""
+    from types import SimpleNamespace
+
+    from video_chapter_generation_tpu.cli.common import title_s2s_config
+
+    tok = SimpleNamespace(vocab_size=500)
+    for tiny in (True, False):
+        peg = title_s2s_config(
+            SimpleNamespace(tiny=tiny, title_arch="pegasus"), tok)
+        assert peg.encoder_attention == "full" and peg.activation == "relu"
+        bb = title_s2s_config(
+            SimpleNamespace(tiny=tiny, title_arch="bigbird"), tok)
+        assert bb.encoder_attention == "block_sparse"
+        assert bb.activation == "gelu_new" and not bb.attention_bias
+        assert bb.learned_positions and bb.decoder_start_token_id == 2
+        bart = title_s2s_config(
+            SimpleNamespace(tiny=tiny, title_arch="bart"), tok)
+        assert not bart.pre_norm and bart.embed_layernorm
+        assert bart.vocab_size == 500
+    full = title_s2s_config(
+        SimpleNamespace(tiny=False, title_arch="bigbird"), tok)
+    assert full.max_positions == 4096 and full.block_size == 64
+
+
+def test_eval_title_int8_cli(disk_corpus, tmp_path, monkeypatch):
+    """--int8_titles must run the whole eval CLI on the quantized model
+    (weight-only int8 + int8 cross-KV) and emit the result file."""
+    from video_chapter_generation_tpu.cli import eval_title
+
+    monkeypatch.chdir(tmp_path)
+    eval_title.main(
+        ["--tiny", "--int8_titles"]
+        + _common_overrides(
+            disk_corpus, tmp_path,
+            ["data.title_input_len=24", "data.title_decode_len=6",
+             "data.batch_size=2"],
+        )
+    )
+    assert (tmp_path / "test_results/chapter_title_gen/gt_batch_2.txt").exists()

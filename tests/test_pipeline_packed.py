@@ -130,6 +130,63 @@ def _pipes(corpus, model, variables, wp, uni, frame_pack):
     )
 
 
+def test_learnable_synth_corpus(tmp_path_factory):
+    """learnable=True must plant real signal at the chapter structure
+    (the impl-A/B accuracy harness depends on it): boundary markers in
+    the subtitles at cut seconds, extractable titles whose keywords
+    pepper their chapter, per-chapter frame-style jumps, split files."""
+    from video_chapter_generation_tpu.data.synth import _MARKERS
+    from video_chapter_generation_tpu.datasetkit.parsing import (
+        extract_first_timestamp,
+    )
+
+    import os
+
+    from video_chapter_generation_tpu.data.frames import load_frame
+
+    root = str(tmp_path_factory.mktemp("learnable_corpus"))
+    paths = make_synth_corpus_on_disk(
+        root, n_videos=3, video_sec=60, n_chapters=3, hw=32,
+        learnable=True, splits={"train": 2, "test": 1},
+    )
+    assert paths["train_vid_file"].endswith("train.txt")
+    train_vids = open(paths["train_vid_file"]).read().split()
+    test_vids = open(paths["test_vid_file"]).read().split()
+    assert len(train_vids) == 2 and len(test_vids) == 1
+    assert not set(train_vids) & set(test_vids)
+
+    corpus = VideoCorpus.from_files(paths["img_dir"], paths["data_file"],
+                                    paths["train_vid_file"],
+                                    paths["subtitle_dir"])
+    vid = corpus.vids[0]
+    cuts = corpus.raw_cut_secs(vid)
+    subs = corpus.subtitles(vid)
+    marker = " ".join(_MARKERS)
+    # markers exactly at the non-zero cut seconds
+    marker_times = [s["start"] for s in subs if marker in s["text"]]
+    assert sorted(marker_times) == [float(c) for c in cuts[1:]]
+
+    # titles are corpus words that recur inside their own chapter
+    chapters = corpus.chapter_descriptions(vid)
+    for (start_t, desc), end_t in zip(
+            chapters, [c for c in cuts[1:]] + [60]):
+        kws = desc.split()
+        assert 1 <= len(kws) <= 3
+        span_text = " ".join(s["text"] for s in subs
+                             if start_t <= s["start"] < end_t)
+        assert any(k in span_text for k in kws), (desc, span_text[:100])
+
+    # frame style jumps at the boundary: cross-boundary frame diff far
+    # exceeds within-chapter diff
+    cut = cuts[1]
+    f = lambda t: load_frame(
+        os.path.join(paths["img_dir"], vid, "%05d.jpg" % t), 32
+    ).astype(int)
+    within = np.abs(f(cut - 3) - f(cut - 2)).mean()
+    across = np.abs(f(cut) - f(cut + 1)).mean()
+    assert across > 2 * within, (within, across)
+
+
 def test_packed_flow_matches_stacked(disk_corpus, tiny_two_stream):
     """frame_pack=True == per-clip stacking, bit for bit (scores, cut
     points, titles), sequential AND pipelined."""

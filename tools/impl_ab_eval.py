@@ -161,7 +161,11 @@ def run_segment_ab(paths, workdir, hw, tpu, impls, seed=123,
 
     tiny = not tpu
     clip_frames = 8 if tiny else 16
-    text_len = 24 if tiny else 100
+    # the clip text window is ~10 s of subtitles + injected markers; 24
+    # tokens truncates BEFORE the mid-clip boundary marker — the signal
+    # the corpus plants (text_len 48 keeps it; TPU runs use the
+    # reference's 100)
+    text_len = 48 if tiny else 100
     batch = 4 if tiny else 8
     epochs = 150 if tiny else 120
     if quick:
