@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--lens", default="1024,2048,4096")
     ap.add_argument("--b", type=int, default=1)
     ap.add_argument("--modes", default="full,block_sparse")
+    ap.add_argument("--block", type=int, default=64,
+                    help="sparse block size (128 doubles the per-block "
+                    "matmul M and halves grid steps — MXU utilization)")
     ap.add_argument("--top", type=int, default=0)
     args = ap.parse_args()
 
@@ -47,7 +50,7 @@ def main():
     rng = np.random.default_rng(0)
     base = dataclasses.replace(
         Seq2SeqConfig.bigbird_pegasus_large(),
-        vocab_size=2048, decoder_layers=1,
+        vocab_size=2048, decoder_layers=1, block_size=args.block,
     )
     results = {}
     for mode in args.modes.split(","):

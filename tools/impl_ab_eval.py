@@ -127,6 +127,7 @@ def common_overrides(paths, workdir, hw, *, clip_frames, text_len,
         f"data.clip_frame_num={clip_frames}",
         f"train.max_epochs={epochs}",
         f"train.eval_every_epochs={max(1, epochs // 3)}",
+        f"train.save_every_epochs={max(1, epochs // 4)}",
         f"train.seed={seed}",
         "optim.gradient_accumulation_steps=1",
         f"optim.final_epochs={epochs}",

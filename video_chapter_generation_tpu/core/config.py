@@ -105,6 +105,12 @@ class MeshConfig:
 class TrainConfig:
     max_epochs: int = 300
     eval_every_epochs: int = 30
+    # checkpoint cadence. The reference saves every epoch
+    # (train_video_segment_ddp.py:151-174) but at real model scale a
+    # full train-state save is ~1.6 GB — on slow disks per-epoch saving
+    # dominates wall clock (measured 300+ s/epoch, PERF.md round 4).
+    # The final epoch always saves.
+    save_every_epochs: int = 1
     seed: int = 123
     ckpt_dir: str = "checkpoints"
     keep_checkpoints: int = 10

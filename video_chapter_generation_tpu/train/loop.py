@@ -197,10 +197,15 @@ class Trainer:
                     self.writer.add_scalar(f"eval/{k}", v, epoch)
                 if score > self.best_result:
                     self.best_result = score
-            self.ckpt.save(
-                epoch, self.state, score=score,
-                metrics={"best_result": self.best_result},
-            )
+            if (
+                (epoch + 1) % self.cfg.train.save_every_epochs == 0
+                or epoch == self.cfg.train.max_epochs - 1
+                or score is not None
+            ):
+                self.ckpt.save(
+                    epoch, self.state, score=score,
+                    metrics={"best_result": self.best_result},
+                )
             logger.info(
                 "epoch %d done in %.1fs: %s", epoch, time.time() - t0, last
             )
