@@ -154,7 +154,7 @@ def flatten_clips(paths, workdir, clip_frames):
 
 
 def run_segment_ab(paths, workdir, hw, tpu, impls, seed=123,
-                   serve_modes=(), quick=False):
+                   serve_modes=(), quick=False, epochs=None):
     """Train per impl (same seed), eval each through cli.eval_segment.
     serve_modes: extra (tag, flags, overrides) evals on the FIRST impl's
     checkpoint."""
@@ -168,7 +168,8 @@ def run_segment_ab(paths, workdir, hw, tpu, impls, seed=123,
     # reference's 100)
     text_len = 48 if tiny else 100
     batch = 4 if tiny else 8
-    epochs = 150 if tiny else 120
+    if epochs is None:
+        epochs = 150 if tiny else 120
     if quick:
         epochs = 3
     lr = "3e-4" if tiny else "1e-4"
@@ -227,14 +228,17 @@ def run_segment_ab(paths, workdir, hw, tpu, impls, seed=123,
 
 
 def run_title_ab(paths, workdir, hw, tpu, seed=123, int8=True,
-                 quick=False):
+                 quick=False, epochs=None):
     from video_chapter_generation_tpu.cli import eval_title, train_title
 
     tiny = not tpu
     in_len = 64 if tiny else 256
     dec_len = 8 if tiny else 12
     batch = 8
-    epochs = 3 if quick else (400 if tiny else 60)
+    if epochs is None:
+        epochs = 400 if tiny else 60
+    if quick:
+        epochs = 3
     ckpt = os.path.join(workdir, "ckpt_title")
     ov = common_overrides(
         paths, workdir, hw, clip_frames=8, text_len=24, batch=batch,

@@ -27,6 +27,15 @@ from .common import (
 
 def main(argv=None):
     import argparse
+    import sys
+
+    argv = list(argv if argv is not None else sys.argv[1:])
+    # --remat: rematerialized encoder/decoder layers. Measured SLOWER at
+    # the tuned defaults (B=16 bf16 is not memory-bound; PERF.md round
+    # 4) — only useful to push batch beyond 16 on one chip.
+    remat = "--remat" in argv
+    if remat:
+        argv.remove("--remat")
 
     cfg, args = parse_config(argv, "train chapter-title generator")
     corpus = load_corpus(cfg, "train")
@@ -36,6 +45,10 @@ def main(argv=None):
     # --title_arch pegasus|bigbird|bart (bigbird = block-sparse
     # long-context encoder; pair with data.title_input_len=3072)
     s2s = title_s2s_config(args, tokenizer)
+    if remat:
+        import dataclasses
+
+        s2s = dataclasses.replace(s2s, remat=True)
 
     vision_dir = cfg.model.vision_init  # reused: path to vision emb dump
     if vision_dir:
