@@ -49,13 +49,13 @@ def test_segment_training_reaches_nontrivial_map(ab):
     (Ceiling-level quality is the REAL-model TPU matrix's job —
     PARITY.md: trunk/tap3 mAP 0.99-1.0 at 224px; the tiny CPU model
     only has to beat chance.)"""
-    assert ab["train:tap3"]["mAP"] > 0.2, ab
+    assert ab["train:two_stream:tap3"]["mAP"] > 0.2, ab
 
 
 def test_serving_dtype_equivalence(ab):
     """f32 vs bf16 serving of the SAME checkpoint through the real eval
     CLI: task metrics agree within a tight band."""
-    a, b = ab["train:tap3"], ab["serve:f32"]
+    a, b = ab["train:two_stream:tap3"], ab["serve:f32"]
     assert abs(a["mAP"] - b["mAP"]) < 0.03, (a, b)
     assert abs(a["f1_3"] - b["f1_3"]) < 0.1, (a, b)
 

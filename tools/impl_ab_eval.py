@@ -154,10 +154,12 @@ def flatten_clips(paths, workdir, clip_frames):
 
 
 def run_segment_ab(paths, workdir, hw, tpu, impls, seed=123,
-                   serve_modes=(), quick=False, epochs=None):
+                   serve_modes=(), quick=False, epochs=None,
+                   kind="two_stream", window_size=1, lr=None):
     """Train per impl (same seed), eval each through cli.eval_segment.
     serve_modes: extra (tag, flags, overrides) evals on the FIRST impl's
-    checkpoint."""
+    checkpoint. kind: two_stream (base) or two_stream_window (the
+    flagship; heavier — W=2*window_size+1 clips per sample)."""
     from video_chapter_generation_tpu.cli import eval_segment, train_segment
 
     tiny = not tpu
@@ -172,18 +174,19 @@ def run_segment_ab(paths, workdir, hw, tpu, impls, seed=123,
         epochs = 150 if tiny else 120
     if quick:
         epochs = 3
-    lr = "3e-4" if tiny else "1e-4"
-    kind = "two_stream"
+    if lr is None:
+        lr = "3e-4" if tiny else "1e-4"
     results = {}
     clips_json = flatten_clips(paths, workdir, clip_frames)
     old_cwd = os.getcwd()
     for impl in impls:
-        ckpt = os.path.join(workdir, f"ckpt_seg_{impl}")
+        ckpt = os.path.join(workdir, f"ckpt_seg_{kind}_{impl}")
         ov = common_overrides(
             paths, workdir, hw, clip_frames=clip_frames, text_len=text_len,
             batch=batch, epochs=epochs, seed=seed, ckpt_dir=ckpt,
             extra=[f'model.kind="{kind}"', f'model.tsm_impl="{impl}"',
                    f"optim.learning_rate={lr}",
+                   f"data.window_size={window_size}",
                    f'model.compute_dtype="bfloat16"'],
         )
         tok = ["--bert_vocab", paths["vocab"]]
@@ -191,7 +194,7 @@ def run_segment_ab(paths, workdir, hw, tpu, impls, seed=123,
         print(f"\n=== train segment impl={impl} ===", flush=True)
         train_segment.main(args)
 
-        out_dir = os.path.join(workdir, f"eval_seg_{impl}")
+        out_dir = os.path.join(workdir, f"eval_seg_{kind}_{impl}")
         os.makedirs(out_dir, exist_ok=True)
         os.chdir(out_dir)
         try:
@@ -200,17 +203,18 @@ def run_segment_ab(paths, workdir, hw, tpu, impls, seed=123,
                 + [f'data.test_clips_json="{clips_json}"'])
         finally:
             os.chdir(old_cwd)
-        results[f"train:{impl}"] = parse_segment_result(
+        results[f"train:{kind}:{impl}"] = parse_segment_result(
             os.path.join(out_dir, f"test_results/{kind}_head_mlp.txt"))
 
     # serving A/Bs on the first impl's checkpoint
-    base_ckpt = os.path.join(workdir, f"ckpt_seg_{impls[0]}")
+    base_ckpt = os.path.join(workdir, f"ckpt_seg_{kind}_{impls[0]}")
     for tag, flags, extra_ov in serve_modes:
         ov = common_overrides(
             paths, workdir, hw, clip_frames=clip_frames, text_len=text_len,
             batch=batch, epochs=epochs, seed=seed, ckpt_dir=base_ckpt,
             extra=[f'model.kind="{kind}"',
-                   f'model.tsm_impl="{impls[0]}"', *extra_ov],
+                   f'model.tsm_impl="{impls[0]}"',
+                   f"data.window_size={window_size}", *extra_ov],
         )
         out_dir = os.path.join(workdir, f"eval_seg_serve_{tag}")
         os.makedirs(out_dir, exist_ok=True)
