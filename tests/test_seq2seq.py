@@ -322,3 +322,58 @@ def test_beam_search_jittable(ours_pegasus):
     np.testing.assert_array_equal(np.asarray(eager_ids), np.asarray(jit_ids))
     np.testing.assert_allclose(np.asarray(eager_scores),
                                np.asarray(jit_scores), rtol=1e-5)
+
+
+def test_remat_matches_no_remat(ours_pegasus):
+    """cfg.remat=True (nn.remat with positional static_argnums for
+    'deterministic') must be a pure memory/FLOPs trade: identical param
+    tree, identical logits, identical grads vs remat=False. Guards the
+    positional-argument contract of EncoderLayer/DecoderLayer.__call__
+    (a signature reorder would silently mis-trace the static argnums)."""
+    import dataclasses
+
+    import optax
+
+    _, variables, cfg = ours_pegasus
+    rcfg = dataclasses.replace(cfg, remat=True)
+    model, rmodel = Seq2Seq(cfg), Seq2Seq(rcfg)
+    ids, mask, dec = _inputs()
+    ids_j, mask_j, dec_j = jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(dec)
+
+    # same param tree (remat wraps the class, must not rename params)
+    rvars = jax.jit(lambda: rmodel.init(
+        jax.random.PRNGKey(0), ids_j, mask_j, dec_j))()
+    assert jax.tree_util.tree_structure(rvars) == (
+        jax.tree_util.tree_structure(variables))
+
+    # identical logits under the converted weights
+    out = model.apply(variables, ids_j, mask_j, dec_j)
+    rout = rmodel.apply(variables, ids_j, mask_j, dec_j)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(rout),
+                               rtol=1e-5, atol=1e-5)
+
+    # identical grads (remat recomputes, must not change the math)
+    def loss(m):
+        def f(v):
+            logits = m.apply(v, ids_j, mask_j, dec_j)
+            labels = jnp.roll(dec_j, -1, axis=1)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+        return f
+
+    g = jax.grad(loss(model))(variables)
+    rg = jax.grad(loss(rmodel))(variables)
+    chex = pytest.importorskip("chex")
+    chex.assert_trees_all_close(g, rg, rtol=1e-4, atol=1e-5)
+
+    # dropout branch: train mode (deterministic=False) must trace too
+    def tloss(v):
+        logits = rmodel.apply(
+            v, ids_j, mask_j, dec_j, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        labels = jnp.roll(dec_j, -1, axis=1)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean()
+
+    tval = jax.jit(tloss)(variables)
+    assert np.isfinite(float(tval))

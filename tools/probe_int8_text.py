@@ -83,7 +83,7 @@ def main():
         print(f"\n===== {name} =====")
         total = summarize(evs, top=8)
         print(f"per step: {total/30:.4f} ms")
-    flops = 2 * 2 * L * D * F * B * 2  # 2 matmuls/layer, 2 flops/MAC
+    flops = 2 * L * (2 * B * D * F)  # 2 matmuls/layer, B*D*F MACs, 2 flops/MAC
     print(f"\nMXU floor at 197 TFLOPs bf16: {flops/197e12*1e3:.3f} ms/step")
     print(f"weights/step: bf16 {2*L*D*F*2/1e6:.0f} MB, "
           f"i8 {2*L*D*F/1e6:.0f} MB; HBM floor at 819GB/s: "

@@ -36,7 +36,13 @@ def parse_config(argv: Optional[List[str]] = None,
                         help="title-model family (pegasus_hugface.py / "
                         "pegasus_bigbird.py / bart_hugface.py analogues); "
                         "bigbird = block-sparse long-context encoder — "
-                        "raise data.title_input_len (e.g. 3072) to use it")
+                        "raise data.title_input_len (e.g. 3072) to use it. "
+                        "NOTE: the random-block plan is a seed-derived map "
+                        "shared across heads, unlike HF's per-head/per-layer "
+                        "np.random plan — HF-converted BigBirdPegasus "
+                        "checkpoints reproduce HF outputs exactly only at "
+                        "num_rand_blocks=0 or with injected HF rand maps "
+                        "(models/sparse_attention.py docstring)")
     parser.add_argument("overrides", nargs="*", help="a.b=c overrides")
     args = parser.parse_args(argv)
 
