@@ -272,3 +272,42 @@ def test_eval_title_int8_cli(disk_corpus, tmp_path, monkeypatch):
         )
     )
     assert (tmp_path / "test_results/chapter_title_gen/gt_batch_2.txt").exists()
+
+
+def test_pretrain_gpt_and_sample_cli(disk_corpus, tmp_path, capsys):
+    """pretrain_lang --task next_token_gpt (word-level from-scratch GPT,
+    pretrain_lang_model.py use_glove_emb=False) then sample_lang: the
+    test_gpt.py:91-108 'generate self-defined sentence' surface."""
+    from video_chapter_generation_tpu.cli import pretrain_lang, sample_lang
+
+    overrides = _common_overrides(disk_corpus, tmp_path)
+    pretrain_lang.main(["--task", "next_token_gpt"] + overrides + ["--tiny"])
+    assert os.path.isdir(tmp_path / "ckpt")
+
+    sample_lang.main(
+        ["--task", "next_token_gpt", "--prompt", "talk word2",
+         "--num_samples", "2", "--max_new_tokens", "4", "--top_k", "3"]
+        + overrides + ["--tiny"]
+    )
+    out = capsys.readouterr().out
+    assert "restored checkpoint" in out
+    lines = [l for l in out.splitlines() if l.startswith("talk word2 * ")]
+    assert len(lines) == 2
+    # completions are 4 in-vocab words each
+    for line in lines:
+        words = line.split(" * ")[1].split(" ")
+        assert len(words) == 4
+
+
+def test_sample_lang_bert_cli(disk_corpus, tmp_path, capsys):
+    """--task next_token samples the BERT next-token head (random weights
+    when no checkpoint exists — the smoke contract of the other CLIs)."""
+    from video_chapter_generation_tpu.cli import sample_lang
+
+    sample_lang.main(
+        ["--task", "next_token", "--prompt", "talk word2", "--greedy",
+         "--num_samples", "1", "--max_new_tokens", "3"]
+        + _common_overrides(disk_corpus, tmp_path) + ["--tiny"]
+    )
+    out = capsys.readouterr().out
+    assert any(l.startswith("talk word2 * ") for l in out.splitlines())

@@ -731,6 +731,40 @@ class GloveSubtitleDataset:
         return {"embeddings": x, "targets": y.astype(np.int32)}
 
 
+class WordIdSubtitleDataset(GloveSubtitleDataset):
+    """Token-ID next-token variant for the from-scratch GPT WITHOUT GloVe
+    (the reference's pretrain_lang_model.py use_glove_emb=False path):
+    same random 16s window / lowercase / decontract / known-vocab filter
+    as the GloVe sampler, but x = ids[:-1] and y = ids[1:] as int ids."""
+
+    def __init__(self, corpus: VideoCorpus, vocab: Sequence[str],
+                 clip_frame_num: int = 16, max_text_len: int = 100,
+                 seed: int = 123):
+        super().__init__(corpus, {}, vocab, clip_frame_num=clip_frame_num,
+                         max_text_len=max_text_len, seed=seed)
+
+    def __getitem__(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        rng = host_rng(self.seed, epoch, i)
+        vid = self.corpus.vids[i]
+        image_num = self.corpus.image_num(vid)
+        t = int(rng.integers(self.half, max(self.half + 1,
+                                            image_num - self.half)))
+        start, end = t - self.half, t + self.half
+        text = subtitle_text_for_window(self.corpus.subtitles(vid),
+                                        start, end, time_gap=4)
+        text = self._decontract(text.lower())
+        ids = [self.token2id[w] for w in text.split(" ")
+               if w and w in self.token2id]
+
+        x = np.zeros((self.max_text_len,), np.int64)
+        y = np.full((self.max_text_len,), Y_PAD, np.int64)
+        n = min(max(len(ids) - 1, 0), self.max_text_len)
+        if n:
+            x[:n] = ids[:n]
+            y[:n] = ids[1 : n + 1]
+        return {"text_ids": x.astype(np.int32), "targets": y.astype(np.int32)}
+
+
 class ContrastiveSubtitleDataset(SubtitlePretrainDataset):
     """MoCo pairs: query window + neighboring windows as positive candidates
     (youtube_subtitle_dataset.py:415-614)."""

@@ -42,3 +42,18 @@ def embed_tokens(tokens, table: Dict[str, np.ndarray],
         if v is not None:
             out[i] = v[:dim]
     return out
+
+
+def build_word_vocab(corpus) -> list:
+    """Word-level vocab from a corpus's subtitles (lowercase, decontracted,
+    whitespace-split, sorted) — the no-GloVe fallback for the from-scratch
+    GPT (the reference builds dataset.token2id the same way from its
+    subtitle set, train_lang/pretrain_lang_model.py)."""
+    from .parsing import text_decontracted
+
+    words = set()
+    for vid in corpus.vids:
+        for sub in corpus.subtitles(vid):
+            text = text_decontracted(str(sub.get("text", "")).lower())
+            words.update(w for w in text.split(" ") if w)
+    return sorted(words)

@@ -267,6 +267,35 @@ class LangPretrainTask(_TaskBase):
         return loss, (metrics, batch_stats)
 
 
+class GptPretrainTask(_TaskBase):
+    """From-scratch GPT next-token pretraining on word-level token ids
+    (train_lang/pretrain_lang_model.py use_glove_emb=False: GPTConfig
+    n_head=10, n_embd=300, block_size=max_text_len)."""
+
+    def __init__(self, cfg: Config, vocab_size: int, tiny: bool = False):
+        from ..models.gpt import GPT, GPTConfig
+
+        self.cfg = cfg
+        gc = GPTConfig(
+            vocab_size=vocab_size, block_size=cfg.data.max_text_len,
+            n_layer=2 if tiny else 12, n_head=2 if tiny else 10,
+            n_embd=64 if tiny else 300,
+        )
+        self.model = GPT(gc)
+
+    def init_variables(self):
+        ids = jnp.zeros((1, self.cfg.data.max_text_len), jnp.int32)
+        return self.model.init(jax.random.PRNGKey(self.cfg.train.seed), ids)
+
+    def loss_fn(self, params, batch_stats, batch, rng):
+        logits = self.model.apply(
+            {"params": params}, batch["text_ids"],
+            deterministic=False, rngs={"dropout": rng},
+        )
+        loss, metrics = masked_token_loss(logits, batch["targets"])
+        return loss, (metrics, batch_stats)
+
+
 class GptGlovePretrainTask(_TaskBase):
     """From-scratch GPT next-token pretraining on GloVe word embeddings
     (train_lang/pretrain_lang_model.py + model/lang/gpt.py:109-117):
