@@ -184,3 +184,60 @@ def test_segment_window_task_s2d_feed_matches_frames():
     # not bit-exact: XLA may FMA-contract the normalize affine differently
     # in the two graph contexts (~1 ULP on the inputs)
     assert np.isclose(losses["s2d"], losses["frames"], rtol=1e-4), losses
+
+
+def test_sharded_checkpoint_lifecycle(cfg, tmp_path):
+    """Save a ZeRO-sharded opt_state from a ('data' 4, 'model' 2) mesh and
+    restore it into a FRESH sharded Trainer: the restore goes through a
+    sharding-ANNOTATED abstract state (never host-replicated), the restored
+    state is bitwise equal, opt_state leaves keep their 'data'-axis shards,
+    and training continues (reference resume semantics,
+    train_video_segment_ddp.py:176-207, on the multi-chip layout)."""
+    import chex
+    from jax.sharding import PartitionSpec as P
+
+    cfg = cfg.apply_overrides([
+        "mesh.data_axis=4", "mesh.model_axis=2", "mesh.shard_opt_state=true",
+        "train.max_epochs=2",
+    ])
+    task = TextTask(cfg)
+    # embedding big enough to cross the ZeRO min_size threshold (2^14)
+    # so the opt_state actually shards over 'data'
+    task.model = BertForChapter(BertConfig.tiny(vocab_size=1024),
+                                pretrain_stage=False)
+    trainer = Trainer(
+        cfg=cfg, task=task,
+        train_loader=lambda e: synthetic_batches(e, n_batches=4),
+    )
+    # at least one big opt_state leaf actually sharded over 'data'
+    sharded_leaves = [
+        x for x in jax.tree_util.tree_leaves(trainer.state.opt_state)
+        if hasattr(x, "sharding") and x.sharding.spec != P()
+    ]
+    assert sharded_leaves, "ZeRO sharding produced no sharded leaves"
+    trainer.train()
+    trainer.ckpt.wait()
+
+    trainer2 = Trainer(
+        cfg=cfg.apply_overrides(["train.max_epochs=3"]), task=task,
+        train_loader=lambda e: synthetic_batches(e, n_batches=4),
+    )
+    assert trainer2.start_epoch == 2
+    # bitwise state equality (params + opt_state + step)
+    chex.assert_trees_all_equal(
+        jax.device_get(trainer2.state.params),
+        jax.device_get(trainer.state.params))
+    chex.assert_trees_all_equal(
+        jax.device_get(trainer2.state.opt_state),
+        jax.device_get(trainer.state.opt_state))
+    assert int(trainer2.state.step) == int(trainer.state.step)
+    # restored leaves carry the SAME shard layout (restored as shards)
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.opt_state),
+                    jax.tree_util.tree_leaves(trainer2.state.opt_state)):
+        if hasattr(a, "sharding"):
+            assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
+    # training continues from the restored sharded state
+    trainer2.train()
+    assert int(trainer2.state.step) > int(trainer.state.step)
+    trainer2.ckpt.close()
+    trainer.ckpt.close()

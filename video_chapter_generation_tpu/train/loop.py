@@ -107,9 +107,12 @@ class Trainer:
         self.timer = StepTimer()
         self.best_result = float("-inf")
         self.start_epoch = 0
+        # shard FIRST so resume restores straight into the mesh layout
+        # (ZeRO-sharded opt_state restores as shards, never host-replicated
+        # — the multi-chip lifecycle a pod run needs)
+        self._apply_shardings()
         if self.cfg.train.resume:
             self._try_resume()
-        self._apply_shardings()
 
     def _apply_shardings(self):
         """Replicate params/batch_stats over the mesh; ZeRO-shard the
@@ -119,6 +122,7 @@ class Trainer:
 
         replicated = NamedSharding(self.mesh, P())
         self.state = self.state.replace(
+            step=jax.device_put(self.state.step, replicated),
             params=jax.device_put(self.state.params, replicated),
             batch_stats=jax.device_put(self.state.batch_stats, replicated),
         )
@@ -139,8 +143,12 @@ class Trainer:
 
     # -- checkpoint ------------------------------------------------------
     def _try_resume(self):
+        # abstract state carries each leaf's mesh sharding (set by
+        # _apply_shardings) so orbax places restored arrays directly into
+        # the sharded layout — no host-replicated detour
         abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=getattr(x, "sharding", None))
             if hasattr(x, "shape") else x,
             self.state,
         )
@@ -204,7 +212,12 @@ class Trainer:
             ):
                 self.ckpt.save(
                     epoch, self.state, score=score,
-                    metrics={"best_result": self.best_result},
+                    metrics={
+                        "best_result": self.best_result,
+                        # checkpoint-carried config contract
+                        # (core/contract.py): eval/infer CLIs assert it
+                        "contract": getattr(self.task, "contract", {}),
+                    },
                 )
             logger.info(
                 "epoch %d done in %.1fs: %s", epoch, time.time() - t0, last
