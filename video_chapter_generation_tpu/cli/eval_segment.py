@@ -137,6 +137,10 @@ def build_score_fn(cfg, args, tokenizer, mesh=None, calib_clips=None):
     else:
         task = SegmentWindowTask(cfg, tiny=args.tiny, hw=hw)
 
+    from ..core.contract import vocab_hash
+
+    task.contract = dict(task.contract, vocab_hash=vocab_hash(tokenizer))
+
     variables = task.init_variables()
     ckpt = CheckpointManager(cfg.train.ckpt_dir)
     tx = make_optimizer(cfg.optim, variables["params"])
@@ -147,7 +151,14 @@ def build_score_fn(cfg, args, tokenizer, mesh=None, calib_clips=None):
     )
     restored = ckpt.restore_best(abstract) or ckpt.restore_latest(abstract)
     if restored is not None:
-        _, state = restored
+        step, state = restored
+        # hard-fail on train/eval config divergence (the round-4
+        # silent-zero-vision class of bug): the checkpoint carries its
+        # training contract, this eval config must match it
+        from ..core.contract import assert_contract
+
+        assert_contract(ckpt.metrics_for(step).get("contract"),
+                        task.contract, context="eval_segment")
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats

@@ -115,6 +115,9 @@ def main(argv=None):
     loader = DataLoader(ds, cfg.data.batch_size, shuffle=False,
                         drop_last=False)
 
+    from ..core.contract import vocab_hash
+
+    task.contract = dict(task.contract, vocab_hash=vocab_hash(tokenizer))
     variables = _restore(cfg, task)
     if int8_titles:
         import dataclasses
@@ -227,12 +230,21 @@ def _restore(cfg, task):
         )
         restored = ckpt.restore_best(abstract) or ckpt.restore_latest(abstract)
         if restored is not None:
-            _, state = restored
+            step, state = restored
+            saved_contract = ckpt.metrics_for(step).get("contract")
             variables = {"params": state.params}
             print(f"restored checkpoint at step {int(state.step)}")
         ckpt.close()
     except Exception as e:  # no checkpoint: random weights (smoke/CI)
         print(f"no checkpoint restored ({e})")
+        return variables
+    if restored is not None:
+        # hard-fail on train/eval config divergence — NOT inside the
+        # try: a contract mismatch must never degrade to random weights
+        from ..core.contract import assert_contract
+
+        assert_contract(saved_contract, getattr(task, "contract", {}),
+                        context="checkpoint load")
     return variables
 
 

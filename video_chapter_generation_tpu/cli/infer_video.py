@@ -138,6 +138,9 @@ def main(argv=None):
                                   vision_emb_size=emb_dim)
     else:
         task = TitleGenTask(cfg, s2s_cfg)
+    from ..core.contract import vocab_hash
+
+    task.contract = dict(task.contract, vocab_hash=vocab_hash(title_tokenizer))
     # restores the best/latest title checkpoint from cfg.train.ckpt_dir
     # when one exists; random weights otherwise (smoke mode)
     variables = _restore(cfg, task)

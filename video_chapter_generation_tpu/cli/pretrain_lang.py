@@ -98,6 +98,11 @@ def main(argv=None):
             corpus, tokenizer, task=task_name,
             max_text_len=cfg.data.max_text_len, seed=cfg.train.seed,
         )
+    from ..core.contract import vocab_hash
+
+    task.contract = dict(task.contract, vocab_hash=vocab_hash(
+        vocab if task_name.startswith("next_token_g") else tokenizer))
+
     loader = DataLoader(ds, cfg.data.batch_size, seed=cfg.train.seed)
     trainer = Trainer(cfg=cfg, task=task, train_loader=loader)
     print("final:", trainer.train())

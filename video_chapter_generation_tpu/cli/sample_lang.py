@@ -79,9 +79,12 @@ def main(argv=None):
     sample = not greedy
     rng = jax.random.PRNGKey(cfg.train.seed)
 
+    from ..core.contract import vocab_hash
+
     if task_name == "next_token_gpt":
         vocab = load_word_vocab(glove_vocab, corpus)
         task = GptPretrainTask(cfg, vocab_size=len(vocab), tiny=args.tiny)
+        task.contract = dict(task.contract, vocab_hash=vocab_hash(vocab))
         variables = _restore(cfg, task)
         token2id = {t: i for i, t in enumerate(vocab)}
 
@@ -116,6 +119,7 @@ def main(argv=None):
         emb_dim = len(next(iter(table.values())))
         task = GptGlovePretrainTask(cfg, vocab_size=len(vocab),
                                     tiny=args.tiny, emb_dim=emb_dim)
+        task.contract = dict(task.contract, vocab_hash=vocab_hash(vocab))
         variables = _restore(cfg, task)
         fwd = jax.jit(lambda v, x: task.model.apply(v, x))
 
@@ -144,6 +148,7 @@ def main(argv=None):
         tokenizer = load_bert_tokenizer(args, corpus)
         task = LangPretrainTask(cfg, vocab_size=tokenizer.vocab_size,
                                 tiny=args.tiny)
+        task.contract = dict(task.contract, vocab_hash=vocab_hash(tokenizer))
         variables = _restore(cfg, task)
         fwd = jax.jit(lambda v, ids, mask: task.model.apply(v, ids, mask)[0])
 

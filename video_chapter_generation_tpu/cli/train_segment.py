@@ -51,6 +51,10 @@ def main(argv=None):
     else:
         raise SystemExit(f"unknown model.kind {kind}")
 
+    from ..core.contract import vocab_hash
+
+    task.contract = dict(task.contract, vocab_hash=vocab_hash(tokenizer))
+
     import jax
 
     train_ds, val_ds = make_ds(corpus), make_ds(val_corpus)

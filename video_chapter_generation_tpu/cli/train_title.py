@@ -67,6 +67,10 @@ def main(argv=None):
             cfg.data.title_decode_len, cfg.train.seed,
         )
 
+    from ..core.contract import vocab_hash
+
+    task.contract = dict(task.contract, vocab_hash=vocab_hash(tokenizer))
+
     train_loader = DataLoader(make_ds(corpus), cfg.data.batch_size,
                               seed=cfg.train.seed)
     val_loader = DataLoader(make_ds(val_corpus), cfg.data.batch_size,

@@ -66,6 +66,14 @@ class CheckpointManager:
         )
         return step, state
 
+    def metrics_for(self, step: int) -> Dict:
+        """Per-step metrics metadata (incl. the train-config contract,
+        core/contract.py) saved alongside the state."""
+        try:
+            return dict(self.manager.metrics(step) or {})
+        except Exception:
+            return {}
+
     def wait(self) -> None:
         self.manager.wait_until_finished()
 

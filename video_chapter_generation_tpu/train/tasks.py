@@ -71,8 +71,17 @@ def _prep_frames(cfg: Config, x, dtype):
 
 
 class _TaskBase:
+    #: checkpoint-carried config contract (core/contract.py): persisted by
+    #: the Trainer with every save, asserted by eval/infer CLIs at load
+    contract: dict = {}
+
     def init_variables(self):
         raise NotImplementedError
+
+    def _make_contract(self, **extra):
+        from ..core.contract import build_contract
+
+        self.contract = build_contract(**extra)
 
 
 class SegmentWindowTask(_TaskBase):
@@ -94,6 +103,12 @@ class SegmentWindowTask(_TaskBase):
             hidden_size=cfg.model.hidden_size,
             head_type=cfg.model.head_type,
             dtype=dt,
+        )
+        self._make_contract(
+            model_kind="two_stream_window", head_type=cfg.model.head_type,
+            clip_frame_num=seg, window_size=cfg.data.window_size,
+            max_text_len=self.text_len, frame_hw=hw,
+            data_mode=cfg.model.data_mode,
         )
 
     def _example(self):
@@ -169,6 +184,11 @@ class SegmentTask(_TaskBase):
             ("mlp", "attn") else "mlp",
             dtype=dt,
         )
+        self._make_contract(
+            model_kind="two_stream", head_type=cfg.model.head_type,
+            clip_frame_num=seg, max_text_len=cfg.data.max_text_len,
+            frame_hw=hw, data_mode=cfg.model.data_mode,
+        )
 
     def init_variables(self):
         seg = self.cfg.data.clip_frame_num
@@ -205,6 +225,10 @@ class SegmentTextTask(_TaskBase):
 
             bc = dataclasses.replace(bc, vocab_size=vocab_size)
         self.model = BertForChapter(bc, pretrain_stage=False)
+        self._make_contract(
+            model_kind="text", max_text_len=cfg.data.max_text_len,
+            vocab_size=bc.vocab_size,
+        )
 
     def init_variables(self):
         ids = jnp.ones((1, self.cfg.data.max_text_len), jnp.int32)
@@ -252,6 +276,9 @@ class LangPretrainTask(_TaskBase):
         self.cfg = cfg
         bc = dataclasses.replace(_bert_cfg(cfg, tiny), vocab_size=vocab_size)
         self.model = BertForChapter(bc, pretrain_stage=True)
+        self._make_contract(model_kind="lang_pretrain",
+                            max_text_len=cfg.data.max_text_len,
+                            vocab_size=vocab_size)
 
     def init_variables(self):
         ids = jnp.ones((1, self.cfg.data.max_text_len), jnp.int32)
@@ -282,6 +309,9 @@ class GptPretrainTask(_TaskBase):
             n_embd=64 if tiny else 300,
         )
         self.model = GPT(gc)
+        self._make_contract(model_kind="gpt_pretrain",
+                            max_text_len=cfg.data.max_text_len,
+                            vocab_size=vocab_size)
 
     def init_variables(self):
         ids = jnp.zeros((1, self.cfg.data.max_text_len), jnp.int32)
@@ -315,6 +345,9 @@ class GptGlovePretrainTask(_TaskBase):
         )
         self.emb_dim = emb_dim
         self.model = GPT(gc)
+        self._make_contract(model_kind="gpt_glove_pretrain",
+                            max_text_len=cfg.data.max_text_len,
+                            vocab_size=vocab_size, emb_dim=emb_dim)
 
     def init_variables(self):
         x = jnp.zeros((1, self.cfg.data.max_text_len, self.emb_dim))
@@ -336,6 +369,13 @@ class TitleGenTask(_TaskBase):
         self.cfg = cfg
         self.s2s_cfg = seq2seq_cfg
         self.model = Seq2Seq(seq2seq_cfg, dtype=_dtype(cfg))
+        self._make_contract(
+            model_kind="title", title_input_len=cfg.data.title_input_len,
+            title_decode_len=cfg.data.title_decode_len,
+            vocab_size=seq2seq_cfg.vocab_size,
+            encoder_attention=seq2seq_cfg.encoder_attention,
+            d_model=seq2seq_cfg.d_model,
+        )
 
     def init_variables(self):
         ids = jnp.ones((1, 8), jnp.int32)
@@ -390,6 +430,15 @@ class TitleGenVisionTask(TitleGenTask):
                                       vision_emb_size=vision_emb_size,
                                       dtype=_dtype(cfg))
         self.vision_emb_size = vision_emb_size
+        self._make_contract(
+            model_kind="title_vision", fusion_type=fusion_type,
+            vision_emb_size=vision_emb_size,
+            title_input_len=cfg.data.title_input_len,
+            title_decode_len=cfg.data.title_decode_len,
+            vocab_size=seq2seq_cfg.vocab_size,
+            encoder_attention=seq2seq_cfg.encoder_attention,
+            d_model=seq2seq_cfg.d_model,
+        )
 
     def init_variables(self):
         ids = jnp.ones((1, 8), jnp.int32)
