@@ -106,14 +106,26 @@ def main():
             print(f"int8 secondary bench failed: {e!r}", file=sys.stderr)
             int8_fps = None
 
+    # analytic MFU (utils/flops.py: conv MACs x2 over the chip's spec
+    # peak; elementwise/BN excluded — standard convention)
+    from video_chapter_generation_tpu.utils.flops import (
+        PEAK_BF16,
+        PEAK_INT8,
+        resnet_macs_per_frame,
+    )
+
+    flops_per_frame = 2 * resnet_macs_per_frame(HW)
     result = {
         "metric": "vision_embed_throughput",
         "value": round(frames_per_sec, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
+        "mfu": round(frames_per_sec * flops_per_frame / PEAK_BF16, 4),
     }
     if int8_fps:
         result["int8_frames_per_sec"] = int8_fps
+        result["int8_mfu"] = round(
+            int8_fps * flops_per_frame / PEAK_INT8, 4)
     print(json.dumps(result))
 
 

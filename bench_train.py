@@ -144,14 +144,28 @@ def main(argv=None):
 
     steps_per_sec = ITERS / dt
     frames_per_sec = B * W * seg * ITERS / dt
-    print(json.dumps({
+    out = {
         "metric": "train_step_throughput",
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec/chip",
         "frames_per_sec": round(frames_per_sec, 1),
         "batch": B, "window": W, "segment": seg,
         "loss": round(final_loss, 4),
-    }))
+    }
+    if on_tpu:
+        # analytic MFU: fwd = vision trunk per frame + BERT-base per
+        # window text; fwd+bwd = 3x fwd (utils/flops.py conventions)
+        from video_chapter_generation_tpu.utils.flops import (
+            PEAK_BF16,
+            bert_encode_macs,
+            resnet_macs_per_frame,
+        )
+
+        fwd = 2 * (W * seg * resnet_macs_per_frame(hw)
+                   + W * bert_encode_macs(L))
+        out["mfu"] = round(
+            steps_per_sec * B * 3 * fwd / PEAK_BF16, 4)
+    print(json.dumps(out))
 
 
 def bench_title(argv, on_tpu):
@@ -264,7 +278,7 @@ def bench_title(argv, on_tpu):
     final_loss = float(acc)  # host fetch INSIDE the timed window
     dt_s = time.perf_counter() - t0
     micro = ITERS * accum
-    print(json.dumps({
+    out = {
         "metric": "title_train_step_throughput",
         "value": round(micro / dt_s, 3),
         "unit": "microbatch_steps/sec/chip",
@@ -274,7 +288,22 @@ def bench_title(argv, on_tpu):
         "dtype": dtype, "remat": s2s_cfg.remat, "accum": accum,
         "vocab": s2s_cfg.vocab_size,
         "loss": round(final_loss / micro, 4),
-    }))
+    }
+    if on_tpu:
+        from video_chapter_generation_tpu.utils.flops import (
+            PEAK_BF16,
+            seq2seq_macs,
+        )
+
+        fwd = 2 * seq2seq_macs(
+            enc_len, dec_len, s2s_cfg.encoder_layers,
+            s2s_cfg.decoder_layers, s2s_cfg.d_model, s2s_cfg.ffn_dim,
+            s2s_cfg.vocab_size)
+        # remat recomputes the fwd in bwd: 4x fwd instead of 3x
+        mult = 4 if s2s_cfg.remat else 3
+        out["mfu"] = round(
+            (B * micro / dt_s) * mult * fwd / PEAK_BF16, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
