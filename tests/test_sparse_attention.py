@@ -247,3 +247,54 @@ def test_bigbird_seq2seq_variant():
     logits = model.apply(v, ids, mask, dec)
     assert logits.shape == (1, 4, 64)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+# ---------------------------------------------------------------------------
+# fused flash-style Pallas kernel (ops/sparse_attention_pallas.py)
+# ---------------------------------------------------------------------------
+
+
+def test_kernel_matches_gather():
+    """The fused kernel (online softmax, scalar-prefetch block DMA) must
+    reproduce the XLA gather formulation, including padding and rand
+    blocks — interpret mode on CPU, Mosaic on TPU."""
+    q, k, v = make_qkv(b=2, l=16 * 8, h=2, hd=16, seed=3)
+    mask = np.ones((2, 128), np.int32)
+    mask[1, 100:] = 0
+    mask = jnp.asarray(mask)
+    for rand in (0, 2):
+        o_g = block_sparse_attention(q, k, v, mask, block_size=8,
+                                     num_rand_blocks=rand, impl="gather")
+        o_k = block_sparse_attention(q, k, v, mask, block_size=8,
+                                     num_rand_blocks=rand, impl="kernel")
+        np.testing.assert_allclose(np.asarray(o_g), np.asarray(o_k),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_matches_gather_rand_map_injection():
+    """HF-plan injection (verbatim rand blocks, incl. double counts) must
+    flow through the kernel identically."""
+    q, k, v = make_qkv(b=1, l=16 * 8, h=1, hd=16, seed=4)
+    mask = jnp.ones((1, 128), jnp.int32)
+    # adversarial plan: collides with window AND globals (double-count)
+    rand_map = np.zeros((16, 2), np.int32)
+    for qb in range(16):
+        rand_map[qb] = [0, min(qb + 1, 15)]
+    kw = dict(block_size=8, num_rand_blocks=2, rand_map=rand_map)
+    o_g = block_sparse_attention(q, k, v, mask, impl="gather", **kw)
+    o_k = block_sparse_attention(q, k, v, mask, impl="kernel", **kw)
+    np.testing.assert_allclose(np.asarray(o_g), np.asarray(o_k),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_bf16_matches_gather_band():
+    q, k, v = [x.astype(jnp.bfloat16) for x in
+               make_qkv(b=1, l=16 * 8, h=2, hd=16, seed=5)]
+    mask = jnp.ones((1, 128), jnp.int32)
+    o_g = block_sparse_attention(q, k, v, mask, block_size=8,
+                                 num_rand_blocks=1, impl="gather")
+    o_k = block_sparse_attention(q, k, v, mask, block_size=8,
+                                 num_rand_blocks=1, impl="kernel")
+    np.testing.assert_allclose(
+        np.asarray(o_g, np.float32), np.asarray(o_k, np.float32),
+        rtol=2e-2, atol=2e-2)

@@ -54,7 +54,15 @@ def main():
     )
     results = {}
     for mode in args.modes.split(","):
-        cfg = dataclasses.replace(base, encoder_attention=mode)
+        # sparse_gather / sparse_kernel select the block-sparse impl
+        # (XLA gathered einsums vs the fused flash-style Pallas kernel,
+        # ops/sparse_attention_pallas.py)
+        if mode.startswith("sparse_"):
+            cfg = dataclasses.replace(
+                base, encoder_attention="block_sparse",
+                sparse_impl=mode.split("_", 1)[1])
+        else:
+            cfg = dataclasses.replace(base, encoder_attention=mode)
         model = Seq2Seq(cfg, dtype=jnp.bfloat16)
         for L in (int(x) for x in args.lens.split(",")):
             ids = jnp.asarray(

@@ -61,6 +61,10 @@ class Seq2SeqConfig:
     block_size: int = 64
     num_rand_blocks: int = 3
     num_global_blocks: int = 1
+    # block-sparse encoder impl: 'auto' = fused flash-style Pallas kernel
+    # on TPU (ops/sparse_attention_pallas.py), XLA gather elsewhere;
+    # 'gather'/'kernel' force one (A/B + tests)
+    sparse_impl: str = "auto"
     # serving: weight-only int8 (W8A16). Dense kernels + the tied shared
     # table become int8 with per-output-channel scales (Int8Dense /
     # Int8Embed); variables come from ops.quantize.quantize_seq2seq on a
@@ -210,6 +214,7 @@ class MultiHeadAttention(nn.Module):
         ctx = block_sparse_attention(
             q, k, v, mask, cfg.block_size, cfg.num_rand_blocks,
             cfg.num_global_blocks, rand_map=rand_map,
+            impl=cfg.sparse_impl,
         )
         return self.out_proj(ctx.reshape(*x.shape[:-1], cfg.d_model))
 

@@ -79,6 +79,7 @@ def block_sparse_attention(
     num_global_blocks: int = 1,
     seed: int = 0,
     rand_map: Optional[np.ndarray] = None,
+    impl: str = "auto",
 ) -> jax.Array:
     """q,k,v: [B, L, H, hd]; mask: [B, L] (1 keep / 0 pad) or None.
     Returns [B, L, H, hd]. L must be divisible by block_size.
@@ -90,6 +91,11 @@ def block_sparse_attention(
     random attended-block indices per query block (rows 0 and nb-1
     unused) — used by the HF differential test to inject HF's own
     np.random plan; production uses the seed-derived default.
+
+    impl: 'gather' = XLA static-gather einsums; 'kernel' = fused
+    flash-style Pallas kernel (ops/sparse_attention_pallas.py — no
+    materialized key gather, online softmax); 'auto' = kernel on TPU
+    when the block shape tiles (bs/hd multiples of 8), gather elsewhere.
     """
     assert num_global_blocks == 1, (
         "HF BigBirdPegasus ITC layout: exactly one global block at each "
@@ -138,27 +144,53 @@ def block_sparse_attention(
         uniq = uniq + [uniq[0]] * (n_att - len(uniq))
         rows.append(uniq)
         valids.append(valid)
-    att_ids = jnp.asarray(np.asarray(rows, np.int32))  # [nb-2, n_att]
-    valid = jnp.asarray(np.asarray(valids, np.int32))  # [nb-2, n_att]
+    att_ids_np = np.asarray(rows, np.int32)    # [nb-2, n_att]
+    valid_np = np.asarray(valids, np.int32)    # [nb-2, n_att]
 
-    # gather attended keys/values/masks: [b, nb-2, n_att*bs, h, hd]
-    kg = jnp.take(kb, att_ids, axis=1).reshape(
-        b, nb - 2, n_att * block_size, h, hd
+    use_kernel = impl == "kernel" or (
+        impl == "auto"
+        and jax.default_backend() == "tpu"
+        and block_size % 8 == 0
+        and hd % 8 == 0
     )
-    vg = jnp.take(vb, att_ids, axis=1).reshape(
-        b, nb - 2, n_att * block_size, h, hd
-    )
-    mg = jnp.take(mb, att_ids, axis=1)  # [b, nb-2, n_att, bs]
-    mg = (mg * valid[None, :, :, None]).reshape(b, nb - 2,
-                                                n_att * block_size)
+    if use_kernel:
+        from ..ops.sparse_attention_pallas import (
+            penalty_for_structured_ids,
+            sparse_band_attention_pallas,
+            structured_ids,
+        )
 
-    qs = qb[:, 1:-1]  # sparse query blocks
-    att = jnp.einsum("bnqhd,bnkhd->bnhqk", qs, kg) * scale
-    att = att + (1.0 - mg[:, :, None, None, :].astype(att.dtype)) \
-        * MASK_PENALTY
-    att = jax.nn.softmax(att, axis=-1)
-    out = jnp.einsum("bnhqk,bnkhd->bnqhd", att, vg)
-    out = out.reshape(b, (nb - 2) * block_size, h, hd)
+        sids, svalid = structured_ids(nb, rand_map)
+        penalty = penalty_for_structured_ids(mask, sids, svalid, block_size)
+        rand_ids = (np.asarray(rand_map, np.int32)[1:-1]
+                    if rand_map is not None
+                    else np.zeros((nb - 2, 0), np.int32))
+        out = sparse_band_attention_pallas(
+            q[:, block_size:-block_size], k, v, penalty,
+            jnp.asarray(rand_ids), block_size,
+        )
+    else:
+        att_ids = jnp.asarray(att_ids_np)
+        valid = jnp.asarray(valid_np)
+
+        # gather attended keys/values/masks: [b, nb-2, n_att*bs, h, hd]
+        kg = jnp.take(kb, att_ids, axis=1).reshape(
+            b, nb - 2, n_att * block_size, h, hd
+        )
+        vg = jnp.take(vb, att_ids, axis=1).reshape(
+            b, nb - 2, n_att * block_size, h, hd
+        )
+        mg = jnp.take(mb, att_ids, axis=1)  # [b, nb-2, n_att, bs]
+        mg = (mg * valid[None, :, :, None]).reshape(b, nb - 2,
+                                                    n_att * block_size)
+
+        qs = qb[:, 1:-1]  # sparse query blocks
+        att = jnp.einsum("bnqhd,bnkhd->bnhqk", qs, kg) * scale
+        att = att + (1.0 - mg[:, :, None, None, :].astype(att.dtype)) \
+            * MASK_PENALTY
+        att = jax.nn.softmax(att, axis=-1)
+        out = jnp.einsum("bnhqk,bnkhd->bnqhd", att, vg)
+        out = out.reshape(b, (nb - 2) * block_size, h, hd)
 
     # first and last query blocks attend the FULL sequence
     out_first = _full_attention(q[:, :block_size], k, v, mask, scale)
