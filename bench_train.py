@@ -175,7 +175,13 @@ def bench_title(argv, on_tpu):
 
     Flags: --b BATCH (default 16), --dtype bf16|f32, --remat,
     --accum N, --enc-len L, --dec-len L, --tiny-vocab (8k instead of
-    the real 96103 — isolates the vocab-CE cost).
+    the real 96103 — isolates the vocab-CE cost), --pack N (sequence
+    packing probe: N chapters per row — B/N rows of N*enc x N*dec; a
+    SHAPE-equivalent throughput measurement of the packed-matmul
+    structure — the additive block masks a production packed impl would
+    add cost nothing, so ex/s here is the packed impl's ceiling.
+    Attacks the decoder M=480-rows / hd=64 structural MXU loss,
+    PERF.md round 4).
     Same fori_loop + final-loss-fetch methodology as the segment bench.
     """
 
@@ -216,6 +222,9 @@ def bench_title(argv, on_tpu):
         s2s_cfg = dataclasses.replace(s2s_cfg, remat=True)
     dtype = opt("--dtype", "bf16", str)
     accum = opt("--accum", 1, int)
+    pack = opt("--pack", 1, int)
+    assert B % pack == 0, (B, pack)
+    rows, enc_row, dec_row = B // pack, enc_len * pack, dec_len * pack
     dt = jnp.bfloat16 if dtype in ("bf16", "bfloat16") else jnp.float32
 
     model = Seq2Seq(s2s_cfg, dtype=dt)
@@ -231,11 +240,11 @@ def bench_title(argv, on_tpu):
     rng = np.random.default_rng(0)
     batches = {
         "text_ids": jnp.asarray(rng.integers(
-            3, s2s_cfg.vocab_size, (2, B, enc_len)).astype(np.int32)),
+            3, s2s_cfg.vocab_size, (2, rows, enc_row)).astype(np.int32)),
         "dec_in": jnp.asarray(rng.integers(
-            3, s2s_cfg.vocab_size, (2, B, dec_len)).astype(np.int32)),
+            3, s2s_cfg.vocab_size, (2, rows, dec_row)).astype(np.int32)),
         "dec_tgt": jnp.asarray(rng.integers(
-            3, s2s_cfg.vocab_size, (2, B, dec_len)).astype(np.int32)),
+            3, s2s_cfg.vocab_size, (2, rows, dec_row)).astype(np.int32)),
     }
 
     def loss_fn(params, batch, key):
@@ -286,7 +295,7 @@ def bench_title(argv, on_tpu):
         "tokens_per_sec": round(B * (enc_len + dec_len) * micro / dt_s, 1),
         "batch": B, "enc_len": enc_len, "dec_len": dec_len,
         "dtype": dtype, "remat": s2s_cfg.remat, "accum": accum,
-        "vocab": s2s_cfg.vocab_size,
+        "pack": pack, "vocab": s2s_cfg.vocab_size,
         "loss": round(final_loss / micro, 4),
     }
     if on_tpu:
@@ -295,10 +304,11 @@ def bench_title(argv, on_tpu):
             seq2seq_macs,
         )
 
+        # per-ROW flops at the packed lengths, over B/pack rows
         fwd = 2 * seq2seq_macs(
-            enc_len, dec_len, s2s_cfg.encoder_layers,
+            enc_row, dec_row, s2s_cfg.encoder_layers,
             s2s_cfg.decoder_layers, s2s_cfg.d_model, s2s_cfg.ffn_dim,
-            s2s_cfg.vocab_size)
+            s2s_cfg.vocab_size) / pack
         # remat recomputes the fwd in bwd: 4x fwd instead of 3x
         mult = 4 if s2s_cfg.remat else 3
         out["mfu"] = round(

@@ -126,7 +126,7 @@ def _bigbird_inputs(l=192, b=2, seed=0):
     return ids, mask
 
 
-def _ours_bigbird_cfg():
+def _ours_bigbird_cfg(sparse_impl="auto"):
     from video_chapter_generation_tpu.models.seq2seq import Seq2SeqConfig
 
     return Seq2SeqConfig.tiny(
@@ -134,6 +134,7 @@ def _ours_bigbird_cfg():
         encoder_attention="block_sparse", block_size=16, num_rand_blocks=1,
         num_heads=1, activation="gelu_new", learned_positions=True,
         decoder_start_token_id=2, attention_bias=False,
+        sparse_impl=sparse_impl,
     )
 
 
@@ -161,11 +162,14 @@ def _hf_rand_maps(hf_model, seq_len, block_size, num_rand):
     return maps
 
 
-def test_bigbird_encoder_matches_hf(hf_bigbird):
+@pytest.mark.parametrize("impl", ["gather", "kernel"])
+def test_bigbird_encoder_matches_hf(hf_bigbird, impl):
     """Differential vs HF BigBirdPegasus encoder in block_sparse mode —
     pins our ITC layout (first+last global rows/cols, 3-block band,
     -10000 mask penalty, padded-query zeroing) bit-close to HF's
-    `bigbird_block_sparse_attention` (modeling_bigbird_pegasus.py:312)."""
+    `bigbird_block_sparse_attention` (modeling_bigbird_pegasus.py:312).
+    Parametrized over the gather formulation AND the fused Pallas kernel
+    (impl=kernel — interpret on CPU, Mosaic on TPU)."""
     import torch
 
     from video_chapter_generation_tpu.models.seq2seq import (
@@ -173,7 +177,7 @@ def test_bigbird_encoder_matches_hf(hf_bigbird):
         convert_hf_seq2seq,
     )
 
-    cfg = _ours_bigbird_cfg()
+    cfg = _ours_bigbird_cfg(sparse_impl=impl)
     variables = convert_hf_seq2seq(hf_bigbird.state_dict(), cfg)
     model = Seq2Seq(cfg)
 

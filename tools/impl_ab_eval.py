@@ -293,6 +293,14 @@ def main():
     ap.add_argument("--out_json", default=None)
     ap.add_argument("--quick", action="store_true",
                     help="plumbing smoke: 3 epochs per run")
+    ap.add_argument("--kind", default="two_stream",
+                    choices=("two_stream", "two_stream_window"),
+                    help="segment model for the matrix; two_stream_window "
+                    "= the FLAGSHIP (reference best-val model, "
+                    "two_stream_window.py:292-445)")
+    ap.add_argument("--window_size", type=int, default=1)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--lr", default=None)
     args = ap.parse_args()
 
     if not args.tpu:
@@ -316,7 +324,9 @@ def main():
                      [("f32", [], ['model.compute_dtype="float32"'])])
         results.update(run_segment_ab(paths, workdir, hw, args.tpu,
                                       impls, serve_modes=serve,
-                                      quick=args.quick))
+                                      quick=args.quick, kind=args.kind,
+                                      window_size=args.window_size,
+                                      epochs=args.epochs, lr=args.lr))
     if "title" in stages:
         results.update(run_title_ab(paths, workdir, hw, args.tpu,
                                     quick=args.quick))

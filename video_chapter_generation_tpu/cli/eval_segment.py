@@ -65,12 +65,18 @@ def main(argv=None):
 
     calib = None
     if int8_vision:
-        assert cfg.model.kind == "two_stream", (
-            "--int8_vision needs model.kind=two_stream")
+        assert cfg.model.kind in ("two_stream", "two_stream_window"), (
+            "--int8_vision needs a two-stream model.kind")
         assert cfg.model.stem_input == "frames", (
             "--int8_vision on this CLI supports model.stem_input='frames'")
         n = min(cfg.data.batch_size, len(ds))
-        calib = np.stack([ds[i]["img_clip"] for i in range(n)])
+        if cfg.model.kind == "two_stream_window":
+            # window clips [n, W, T, ...] -> per-clip [n*W, T, ...] for
+            # trunk calibration
+            calib = np.stack([ds[i]["img_clips"] for i in range(n)])
+            calib = calib.reshape(-1, *calib.shape[2:])
+        else:
+            calib = np.stack([ds[i]["img_clip"] for i in range(n)])
     score_fn = build_score_fn(cfg, args, tokenizer, calib_clips=calib)
     score_clips(ds, score_fn, cfg.data.batch_size)
 
@@ -167,9 +173,9 @@ def build_score_fn(cfg, args, tokenizer, mesh=None, calib_clips=None):
 
     quant = None
     if calib_clips is not None:
-        assert kind == "two_stream", (
-            "int8 vision serving is implemented for the two_stream "
-            f"scorer only (got model.kind={kind})")
+        assert kind in ("two_stream", "two_stream_window"), (
+            "int8 vision serving needs a two-stream scorer "
+            f"(got model.kind={kind})")
         from ..ops.quantize import calibrate_two_stream_quant
 
         quant = calibrate_two_stream_quant(task.model, variables,
@@ -185,6 +191,9 @@ def build_score_fn(cfg, args, tokenizer, mesh=None, calib_clips=None):
         return make_sharded_window_score_fn(task.model, variables, mesh)
     if kind == "text":
         return make_text_score_fn(task.model, variables)
+    if kind == "two_stream_window":
+        return make_window_score_fn(task.model, variables,
+                                    quant_scales=quant)
     if kind == "two_stream":
         return make_two_stream_score_fn(task.model, variables,
                                         quant_scales=quant)

@@ -192,11 +192,21 @@ def make_packed_two_stream_score_fn(model, variables, quant_scales=None):
     return score
 
 
-def make_window_score_fn(model, variables, normalize=True):
-    """Positive-class probability from TwoStreamWindow on uint8 frames."""
+def make_window_score_fn(model, variables, normalize=True,
+                         quant_scales=None):
+    """Positive-class probability from TwoStreamWindow on uint8 frames.
+
+    quant_scales (calibrate_two_stream_quant on window clips flattened to
+    [B*W, T, ...]) swaps the shared vision trunk for its W8A8 quantized
+    twin — int8 serving of the FLAGSHIP window scorer."""
     import jax
 
     from ..ops.preprocess import normalize_frames
+
+    if quant_scales is not None:
+        model = model.clone(
+            vision_model=model.vision_model.clone(quantize=True))
+        variables = {**variables, "quant": quant_scales}
 
     @jax.jit
     def fn(v, img_u8, text_ids, attention_mask):
