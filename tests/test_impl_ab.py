@@ -67,3 +67,37 @@ def test_title_int8_serving_equivalence(ab):
     assert abs(a["test_acc"] - b["test_acc"]) < 0.1, (a, b)
     assert abs(a["rouge-1"] - b["rouge-1"]) < 0.1, (a, b)
     assert abs(a["test_loss"] - b["test_loss"]) < 0.3, (a, b)
+
+
+@pytest.fixture(scope="module")
+def ab_window(tmp_path_factory):
+    """FLAGSHIP-kind slice: the two_stream_window model through the same
+    harness (train tap3 -> eval; f32 serving on the same checkpoint)."""
+    from tools.impl_ab_eval import build_corpus, run_segment_ab
+
+    root = str(tmp_path_factory.mktemp("ab_corpus_w"))
+    workdir = os.path.join(root, "work")
+    os.makedirs(workdir, exist_ok=True)
+    paths, hw = build_corpus(root, tpu=False, n_train=8, n_val=2, n_test=3,
+                             video_sec=100, n_chapters=4)
+    return run_segment_ab(
+        paths, workdir, hw, tpu=False, impls=["tap3"], epochs=80,
+        kind="two_stream_window", window_size=1,
+        serve_modes=[("f32", [], ['model.compute_dtype="float32"'])],
+    )
+
+
+def test_window_training_reaches_nontrivial_map(ab_window):
+    """The FLAGSHIP two_stream_window model must also learn the corpus
+    through the real CLIs (the TPU matrix at 224px is the real-scale
+    evidence — IMPL_AB_TPU_WINDOW.json; this pins the harness path)."""
+    assert ab_window["train:two_stream_window:tap3"]["mAP"] > 0.2, ab_window
+
+
+def test_window_serving_dtype_equivalence(ab_window):
+    """f32 vs bf16 serving of the SAME window checkpoint: task metrics
+    within the same band asserted for the base model."""
+    a = ab_window["train:two_stream_window:tap3"]
+    b = ab_window["serve:f32"]
+    assert abs(a["mAP"] - b["mAP"]) < 0.03, (a, b)
+    assert abs(a["f1_3"] - b["f1_3"]) < 0.1, (a, b)
