@@ -81,7 +81,7 @@ def ab_window(tmp_path_factory):
     paths, hw = build_corpus(root, tpu=False, n_train=8, n_val=2, n_test=3,
                              video_sec=100, n_chapters=4)
     return run_segment_ab(
-        paths, workdir, hw, tpu=False, impls=["tap3"], epochs=80,
+        paths, workdir, hw, tpu=False, impls=["tap3"], epochs=200,
         kind="two_stream_window", window_size=1,
         serve_modes=[("f32", [], ['model.compute_dtype="float32"'])],
     )

@@ -301,6 +301,10 @@ def main():
     ap.add_argument("--window_size", type=int, default=1)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--lr", default=None)
+    ap.add_argument("--n_train", type=int, default=16,
+                    help="train videos in the synthetic corpus (more = "
+                    "more steps/epoch; the deep window head needs ~10x "
+                    "the base model's steps)")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -312,7 +316,7 @@ def main():
     stages = args.stages.split(",")
     workdir = args.workdir or os.path.join(args.root, "work")
     os.makedirs(workdir, exist_ok=True)
-    paths, hw = build_corpus(args.root, args.tpu)
+    paths, hw = build_corpus(args.root, args.tpu, n_train=args.n_train)
 
     results = {}
     if "segment" in stages or "serve" in stages:
