@@ -155,11 +155,15 @@ def flatten_clips(paths, workdir, clip_frames):
 
 def run_segment_ab(paths, workdir, hw, tpu, impls, seed=123,
                    serve_modes=(), quick=False, epochs=None,
-                   kind="two_stream", window_size=1, lr=None):
+                   kind="two_stream", window_size=1, lr=None,
+                   init_streams=None):
     """Train per impl (same seed), eval each through cli.eval_segment.
     serve_modes: extra (tag, flags, overrides) evals on the FIRST impl's
     checkpoint. kind: two_stream (base) or two_stream_window (the
-    flagship; heavier — W=2*window_size+1 clips per sample)."""
+    flagship; heavier — W=2*window_size+1 clips per sample).
+    init_streams: checkpoint dir to warm-start the lang/vision streams
+    from (the reference's pretrained-stream recipe for the window
+    model, train_video_segment_ddp.py:448-464)."""
     from video_chapter_generation_tpu.cli import eval_segment, train_segment
 
     tiny = not tpu
@@ -191,8 +195,10 @@ def run_segment_ab(paths, workdir, hw, tpu, impls, seed=123,
         )
         tok = ["--bert_vocab", paths["vocab"]]
         args = tok + ([] if tpu else ["--tiny"]) + ov
+        train_args = args + (
+            ["--init_streams", init_streams] if init_streams else [])
         print(f"\n=== train segment impl={impl} ===", flush=True)
-        train_segment.main(args)
+        train_segment.main(train_args)
 
         out_dir = os.path.join(workdir, f"eval_seg_{kind}_{impl}")
         os.makedirs(out_dir, exist_ok=True)
@@ -305,6 +311,13 @@ def main():
                     help="train videos in the synthetic corpus (more = "
                     "more steps/epoch; the deep window head needs ~10x "
                     "the base model's steps)")
+    ap.add_argument("--impls", default=None,
+                    help="comma list of training impls (default: "
+                    "tap3,auto on TPU / tap3,xla on CPU)")
+    ap.add_argument("--init_streams", default=None,
+                    help="checkpoint dir to warm-start lang/vision "
+                    "streams from (reference pretrained-stream recipe "
+                    "for the window model)")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -320,7 +333,8 @@ def main():
 
     results = {}
     if "segment" in stages or "serve" in stages:
-        impls = ["tap3", "auto"] if args.tpu else ["tap3", "xla"]
+        impls = (args.impls.split(",") if args.impls
+                 else ["tap3", "auto"] if args.tpu else ["tap3", "xla"])
         serve = []
         if "serve" in stages:
             serve = ([("int8_vision", ["--int8_vision"], []),
@@ -330,7 +344,8 @@ def main():
                                       impls, serve_modes=serve,
                                       quick=args.quick, kind=args.kind,
                                       window_size=args.window_size,
-                                      epochs=args.epochs, lr=args.lr))
+                                      epochs=args.epochs, lr=args.lr,
+                                      init_streams=args.init_streams))
     if "title" in stages:
         results.update(run_title_ab(paths, workdir, hw, args.tpu,
                                     quick=args.quick))

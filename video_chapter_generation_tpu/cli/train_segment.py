@@ -20,6 +20,22 @@ from .common import load_bert_tokenizer, load_corpus, parse_config
 
 
 def main(argv=None):
+    import sys
+
+    argv = list(argv if argv is not None else sys.argv[1:])
+    # --init_streams CKPT_DIR: warm-start the lang/vision streams from a
+    # trained (base or window) segment checkpoint — the reference trains
+    # its window model from PRETRAINED streams (bert-base + ImageNet
+    # ResNet50, optionally finetuned: train_video_segment_ddp.py:448-464
+    # lang_pretrain_ckpt_path / vision_pretrain_ckpt_path); with no
+    # HF/torchvision weights in this environment, a trained base
+    # two_stream checkpoint plays that role. The deep window head does
+    # not bootstrap from fully random streams at reference LRs.
+    init_streams = None
+    if "--init_streams" in argv:
+        i = argv.index("--init_streams")
+        init_streams = argv[i + 1]
+        del argv[i : i + 2]
     cfg, args = parse_config(argv, "train chapter-boundary model")
     corpus = load_corpus(cfg, "train")
     val_corpus = load_corpus(cfg, "val")
@@ -54,6 +70,31 @@ def main(argv=None):
     from ..core.contract import vocab_hash
 
     task.contract = dict(task.contract, vocab_hash=vocab_hash(tokenizer))
+
+    if init_streams:
+        from ..core.checkpoint import CheckpointManager
+
+        ck = CheckpointManager(init_streams)
+        restored = ck.restore_raw()
+        ck.close()
+        assert restored is not None, f"no checkpoint in {init_streams}"
+        step0, tree = restored
+        base_init = task.init_variables
+
+        def init_with_streams():
+            v = base_init()
+            for stream in ("lang_model", "vision_model"):
+                assert stream in tree["params"], (stream,
+                                                  list(tree["params"]))
+                v["params"][stream] = tree["params"][stream]
+                bs = tree.get("batch_stats") or {}
+                if stream in bs:
+                    v["batch_stats"][stream] = bs[stream]
+            return v
+
+        task.init_variables = init_with_streams
+        print(f"warm-started lang/vision streams from {init_streams} "
+              f"(step {step0})")
 
     import jax
 

@@ -66,6 +66,17 @@ class CheckpointManager:
         )
         return step, state
 
+    def restore_raw(self, step: Optional[int] = None) -> Optional[tuple]:
+        """Restore a checkpoint WITHOUT an abstract target: returns
+        (step, tree) with the saved structure (TrainState fields as a
+        dict). Used for stream warm-starts across model kinds
+        (train_segment --init_streams — the reference's
+        lang/vision_pretrain_ckpt_path surface)."""
+        step = self.manager.latest_step() if step is None else step
+        if step is None:
+            return None
+        return step, self.manager.restore(step)
+
     def metrics_for(self, step: int) -> Dict:
         """Per-step metrics metadata (incl. the train-config contract,
         core/contract.py) saved alongside the state."""
