@@ -72,7 +72,12 @@ def test_title_int8_serving_equivalence(ab):
 @pytest.fixture(scope="module")
 def ab_window(tmp_path_factory):
     """FLAGSHIP-kind slice: the two_stream_window model through the same
-    harness (train tap3 -> eval; f32 serving on the same checkpoint)."""
+    harness, with the reference's pretrained-stream recipe — train the
+    base two_stream first, warm-start the window model's lang/vision
+    streams from it (--init_streams; the deep 6-block window head does
+    not bootstrap from fully random streams,
+    train_video_segment_ddp.py:448-464), then f32-serve the same
+    checkpoint."""
     from tools.impl_ab_eval import build_corpus, run_segment_ab
 
     root = str(tmp_path_factory.mktemp("ab_corpus_w"))
@@ -80,9 +85,12 @@ def ab_window(tmp_path_factory):
     os.makedirs(workdir, exist_ok=True)
     paths, hw = build_corpus(root, tpu=False, n_train=8, n_val=2, n_test=3,
                              video_sec=100, n_chapters=4)
+    run_segment_ab(paths, workdir, hw, tpu=False, impls=["tap3"],
+                   epochs=80, kind="two_stream")
     return run_segment_ab(
-        paths, workdir, hw, tpu=False, impls=["tap3"], epochs=200,
+        paths, workdir, hw, tpu=False, impls=["tap3"], epochs=120,
         kind="two_stream_window", window_size=1,
+        init_streams=os.path.join(workdir, "ckpt_seg_two_stream_tap3"),
         serve_modes=[("f32", [], ['model.compute_dtype="float32"'])],
     )
 
